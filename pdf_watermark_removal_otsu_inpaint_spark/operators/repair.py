@@ -1,0 +1,147 @@
+"""Detect + repair operators as Arrow-batched pandas UDFs (K1+K2 fused).
+
+One Arrow crossing per row batch: the full per-row pipeline (detect ->
+protect -> morphology -> run filter -> inpaint -> blend, multi-pass) runs
+inside a single vectorized UDF, per SURVEY.md §7 risk list ("fuse
+detect+repair into one UDF to cross the Arrow boundary once per row").
+
+The UDF bodies delegate to reference_kernels — the engine and the pytest
+oracle are the same NumPy code, so token-array equality is structural; the
+*Spark* behavior under test is batching, schema, null/state handling, and
+plan shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..params import DEFAULT_PARAMS, EngineParams
+
+DETECT_STRUCT = "struct<mask:array<boolean>,wm_token:int,coverage:double>"
+REPAIR_STRUCT = ("struct<tokens:array<int>,coverage:double,wm_token:int,"
+                 "pass_count:int>")
+
+
+def _as_wm(w) -> int | None:
+    if w is None:
+        return None
+    try:
+        if isinstance(w, float) and np.isnan(w):
+            return None
+    except TypeError:
+        pass
+    return int(w)
+
+
+def make_detect_udf(params: EngineParams = DEFAULT_PARAMS):
+    """Detection-only kernel -> (mask, wm_token, coverage) struct.
+
+    Engine analogue of detect_watermark_mask + refine_mask
+    (watermark_detector.py:362-419, :755-789); feeds the `detect_masks`
+    intermediate stream (SURVEY §1.2)."""
+    p = params
+
+    @pandas_udf(DETECT_STRUCT)
+    def detect(tokens: pd.Series, wm: pd.Series) -> pd.DataFrame:
+        from .. import reference_kernels as rk
+        masks, wms, covs = [], [], []
+        for arr, w in zip(tokens.to_numpy(), wm.to_numpy()):
+            a = np.asarray(arr, dtype=np.int64)
+            mask, wfound = rk.detect_refine(
+                a, _as_wm(w), p.color_tolerance, p.kernel_size,
+                p.protect_text, p.text_expand, p.min_run, p.max_run)
+            masks.append(mask.tolist())
+            wms.append(wfound)
+            covs.append(rk.coverage(mask))
+        return pd.DataFrame({"mask": masks, "wm_token": wms, "coverage": covs})
+
+    return detect
+
+
+def make_repair_udf(params: EngineParams = DEFAULT_PARAMS):
+    """Fused multi-pass detect+repair kernel -> repaired struct
+    (remove_watermark_multi_pass, watermark_remover.py:234-302)."""
+    p = params
+
+    @pandas_udf(REPAIR_STRUCT)
+    def repair(tokens: pd.Series, wm: pd.Series) -> pd.DataFrame:
+        from .. import reference_kernels as rk
+        out_t, out_c, out_w, out_p = [], [], [], []
+        for arr, w in zip(tokens.to_numpy(), wm.to_numpy()):
+            a = np.asarray(arr, dtype=np.int64)
+            res, n_passes, cov, wfound = rk.remove_watermark_multi_pass(
+                a, p.passes, _as_wm(w), p.color_tolerance, p.kernel_size,
+                p.protect_text, p.text_expand, p.min_run, p.max_run,
+                p.inpaint_radius, p.inpaint_strength)
+            out_t.append(res.astype(np.int32).tolist())
+            out_c.append(cov)
+            out_w.append(wfound)
+            out_p.append(n_passes)
+        return pd.DataFrame({"tokens": out_t, "coverage": out_c,
+                             "wm_token": out_w, "pass_count": out_p})
+
+    return repair
+
+
+def make_apply_mask_udf(params: EngineParams = DEFAULT_PARAMS):
+    """Repair with a *given* mask (inpaint+blend only, K2): the post-join
+    operator of the stream-stream pipeline (X6 -> repair), where the mask
+    arrives from the `detect_masks` stream instead of being recomputed.
+    Reference: remove_watermark body after mask is known
+    (watermark_remover.py:214-226)."""
+    p = params
+
+    @pandas_udf("array<int>")
+    def apply_mask(tokens: pd.Series, mask: pd.Series) -> pd.Series:
+        from .. import reference_kernels as rk
+        out = []
+        for arr, m in zip(tokens.to_numpy(), mask.to_numpy()):
+            a = np.asarray(arr, dtype=np.int64)
+            mk = np.asarray(m, dtype=bool)
+            if not mk.any():
+                out.append(a.astype(np.int32).tolist())
+                continue
+            cov = rk.coverage(mk)
+            radius = rk.dynamic_radius(cov, p.inpaint_radius, p.inpaint_strength)
+            filled = rk.inpaint_1d(a, mk, radius)
+            out.append(rk.blend(a, filled, mk, p.inpaint_strength)
+                       .astype(np.int32).tolist())
+        return pd.Series(out)
+
+    return apply_mask
+
+
+# ---------------------------------------------------------------------------
+# High-level DataFrame operators (one code path for batch and streaming).
+# ---------------------------------------------------------------------------
+def detect_masks(df: DataFrame, params: EngineParams = DEFAULT_PARAMS,
+                 wm_token: Column | None = None) -> DataFrame:
+    """sequences -> detect_masks (doc_id, seq_no, event_ts, source, mask,
+    wm_token, coverage). Column-pruned: only `tokens` reaches the UDF."""
+    wm = wm_token if wm_token is not None else F.lit(None).cast("int")
+    d = make_detect_udf(params)(F.col("tokens"), wm)
+    keep = [c for c in ("doc_id", "seq_no", "event_ts", "source", "n_tok")
+            if c in df.columns]
+    return (df.withColumn("_d", d)
+              .select(*keep, F.col("_d.mask").alias("mask"),
+                      F.col("_d.wm_token").alias("wm_token"),
+                      F.col("_d.coverage").alias("coverage")))
+
+
+def repair_sequences(df: DataFrame, params: EngineParams = DEFAULT_PARAMS,
+                     wm_token: Column | None = None) -> DataFrame:
+    """sequences -> repaired (same key columns + repaired tokens/coverage/
+    wm_token/pass_count). Fused single-UDF path for batch and foreachBatch."""
+    wm = wm_token if wm_token is not None else F.lit(None).cast("int")
+    r = make_repair_udf(params)(F.col("tokens"), wm)
+    keep = [c for c in ("doc_id", "seq_no", "event_ts", "source", "n_tok")
+            if c in df.columns]
+    return (df.withColumn("_r", r)
+              .select(*keep, F.col("_r.tokens").alias("tokens"),
+                      F.col("_r.coverage").alias("coverage"),
+                      F.col("_r.wm_token").alias("wm_token"),
+                      F.col("_r.pass_count").alias("pass_count")))

@@ -102,6 +102,7 @@ def generate_rows(n_rows: int = 200, seed: int = SEED,
     rng = np.random.default_rng(seed)
     rows = []
     n_docs = max(1, n_rows // 4)
+    next_seq: dict[int, int] = {}
     for i in range(n_rows):
         doc_n = int(rng.integers(0, n_docs))
         doc_id = f"doc{doc_n:06d}"
@@ -112,7 +113,9 @@ def generate_rows(n_rows: int = 200, seed: int = SEED,
         scen = SCENARIOS[int(rng.integers(0, len(SCENARIOS)))]
         n = int(rng.integers(min_tok, max_tok + 1))
         tokens = scenario_tokens(scen, n, rng)
-        seq_no = i % 16
+        # (doc_id, seq_no) is the exactly-once sink key — unique per doc
+        seq_no = next_seq.get(doc_n, 0)
+        next_seq[doc_n] = seq_no + 1
         ts = EPOCH + timedelta(seconds=doc_n * 997 + seq_no * 7)
         if late_fraction > 0 and rng.random() < late_fraction:
             ts = ts - timedelta(seconds=watermark_delay_s * 3)

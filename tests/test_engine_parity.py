@@ -1,0 +1,133 @@
+"""Engine-vs-kernel parity: the Spark operators must produce token-array
+equality against reference_kernels row by row (BASELINE.json input_hint
+invariant), and the relational histogram/dominant-token/Otsu paths must match
+the NumPy versions exactly.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_watermark_removal_otsu_inpaint_spark import reference_kernels as rk
+from pdf_watermark_removal_otsu_inpaint_spark.functions import mask_exprs as mx
+from pdf_watermark_removal_otsu_inpaint_spark.operators import histogram as oh
+from pdf_watermark_removal_otsu_inpaint_spark.operators import otsu as oo
+from pdf_watermark_removal_otsu_inpaint_spark.operators.repair import (
+    detect_masks, make_apply_mask_udf, repair_sequences)
+from pdf_watermark_removal_otsu_inpaint_spark.params import DEFAULT_PARAMS
+from pdf_watermark_removal_otsu_inpaint_spark.sources.sequences import (
+    generate_rows, sequences_df)
+
+
+@pytest.fixture(scope="module")
+def seq_df(spark):
+    return sequences_df(spark, n_rows=60, seed=7).cache()
+
+
+@pytest.fixture(scope="module")
+def seq_rows():
+    return generate_rows(60, seed=7)
+
+
+def test_repair_token_array_equality(spark, seq_df, seq_rows):
+    """The per-row invariant: engine repaired tokens == kernel repaired
+    tokens, for every row and scenario mix."""
+    params = DEFAULT_PARAMS.with_(passes=2)
+    out = (repair_sequences(seq_df, params)
+           .select("doc_id", "seq_no", "tokens", "coverage", "pass_count")
+           .collect())
+    got = {(r.doc_id, r.seq_no): r for r in out}
+    assert len(out) == len(seq_rows)
+    checked = 0
+    for row in seq_rows:
+        exp_t, exp_p, exp_c, _ = rk.remove_watermark_multi_pass(
+            np.array(row["tokens"]), passes=2)
+        g = got[(row["doc_id"], row["seq_no"])]
+        assert g.tokens == exp_t.astype(np.int32).tolist(), (
+            f"token mismatch for {row['doc_id']}/{row['seq_no']} "
+            f"scenario={row['scenario']}")
+        assert g.pass_count == exp_p
+        assert abs(g.coverage - exp_c) < 1e-12
+        checked += 1
+    assert checked == len(seq_rows)
+
+
+def test_detect_mask_equality(spark, seq_df, seq_rows):
+    out = detect_masks(seq_df).select("doc_id", "seq_no", "mask", "wm_token").collect()
+    got = {(r.doc_id, r.seq_no): r for r in out}
+    for row in seq_rows:
+        mask, wm = rk.detect_refine(np.array(row["tokens"]))
+        g = got[(row["doc_id"], row["seq_no"])]
+        assert g.mask == mask.tolist()
+        assert g.wm_token == (wm if wm is not None else None)
+
+
+def test_apply_mask_matches_single_pass_repair(spark, seq_df, seq_rows):
+    """detect -> apply_mask (the stream-join shape) == fused single-pass."""
+    masked = detect_masks(seq_df).join(
+        seq_df.select("doc_id", "seq_no", "tokens"), ["doc_id", "seq_no"])
+    out = (masked.withColumn("repaired",
+                             make_apply_mask_udf()(F.col("tokens"), F.col("mask")))
+           .select("doc_id", "seq_no", "repaired").collect())
+    got = {(r.doc_id, r.seq_no): r.repaired for r in out}
+    for row in seq_rows:
+        exp, _, _ = rk.remove_watermark(np.array(row["tokens"]))
+        assert got[(row["doc_id"], row["seq_no"])] == exp.astype(np.int32).tolist()
+
+
+def test_native_mask_exprs_match_kernel(spark, seq_df, seq_rows):
+    """Catalyst-side raw mask + protections == kernel intermediates."""
+    df = (seq_df
+          .withColumn("raw", mx.raw_color_mask(F.col("tokens"), F.lit(200), F.lit(30)))
+          .withColumn("bg", mx.background_mask(F.col("tokens")))
+          .withColumn("prot", mx.mask_and_not(F.col("raw"), F.col("bg")))
+          .withColumn("cov", mx.mask_coverage(F.col("prot"), F.col("n_tok")))
+          .select("doc_id", "seq_no", "raw", "prot", "cov"))
+    got = {(r.doc_id, r.seq_no): r for r in df.collect()}
+    for row in seq_rows:
+        g = rk.bucket256(np.array(row["tokens"]))
+        raw = rk.raw_color_mask(g, 200, 30)
+        prot = raw & ~rk.background_mask(g)
+        r = got[(row["doc_id"], row["seq_no"])]
+        assert r.raw == raw.tolist()
+        assert r.prot == prot.tolist()
+        assert abs(r.cov - prot.sum() / g.size) < 1e-12
+
+
+def test_relational_dominant_token_matches_kernel(spark, seq_df, seq_rows):
+    """A1-A3 relational path: per-(doc_id,seq_no) dominant token == kernel.
+
+    Grouped per row so the kernel's per-row detection is the exact oracle."""
+    dom = oh.dominant_token(seq_df, ["doc_id", "seq_no"]).collect()
+    got = {(r.doc_id, r.seq_no): r.wm_token for r in dom}
+    for row in seq_rows:
+        exp = rk.detect_wm_token(np.array(row["tokens"]))
+        assert got.get((row["doc_id"], row["seq_no"])) == exp
+
+
+def test_otsu_sql_matches_kernel(spark, seq_df, seq_rows):
+    hist = oh.token_histogram(seq_df, ["doc_id", "seq_no"])
+    got = {(r.doc_id, r.seq_no): r.otsu_threshold
+           for r in oo.otsu_sql(hist, ["doc_id", "seq_no"]).collect()}
+    for row in seq_rows:
+        h = rk.histogram256(rk.bucket256(np.array(row["tokens"])))
+        assert got[(row["doc_id"], row["seq_no"])] == rk.otsu_threshold(h)
+
+
+def test_otsu_udf_matches_kernel(spark, seq_df, seq_rows):
+    hist = oh.token_histogram(seq_df, ["doc_id", "seq_no"])
+    vec = oo.assemble_hist_vector(hist, ["doc_id", "seq_no"])
+    got = {(r.doc_id, r.seq_no): r.th
+           for r in vec.withColumn("th", oo.make_otsu_udf()(F.col("counts")))
+                       .select("doc_id", "seq_no", "th").collect()}
+    for row in seq_rows:
+        h = rk.histogram256(rk.bucket256(np.array(row["tokens"])))
+        assert got[(row["doc_id"], row["seq_no"])] == rk.otsu_threshold(h)
+
+
+def test_repair_plan_shape(spark, seq_df):
+    """The fused path must be a single ArrowEvalPython over a pruned scan —
+    no shuffle, no extra Python stages."""
+    plan = repair_sequences(seq_df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
