@@ -1,0 +1,957 @@
+"""Driver-harness query registry: Spark DataFrame implementations paired with
+ANSI-SQL DuckDB oracles (SURVEY.md §5.2 item 2).
+
+Each entry exercises one operator family from SURVEY.md §2 over the driver's
+read-only parquet tables. Column names/aliases are identical between the
+Spark plan and the oracle SQL (the driver hashes values under sorted column
+names). Double-typed aggregates are rounded to a fixed precision on BOTH
+sides so cross-engine summation order cannot flip the hash.
+
+Conventions: every query function takes (spark, sf_dir) and returns a
+DataFrame; ORACLES[name] is the equivalent DuckDB SQL over pre-registered
+views (region nation customer supplier part orders lineitem events documents
+embeddings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import mask_exprs as mx
+from ..operators import histogram as oh
+from ..operators import otsu as oo
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# Relational core (A6, T1, J*, W*, X1-as-batch, F13, sessionization)
+# ===========================================================================
+
+@q("q01_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4)                                   AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4)                              AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
+       ROUND(AVG(l_discount), 4)                                   AS avg_disc,
+       COUNT(*)                                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q01(spark, sf_dir):
+    """TPC-H-Q1-flavor scan+agg (A6/A8 family): predicate pushdown + hash agg."""
+    li = t(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                  .alias("sum_disc_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                               * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+@q("q02_topk_per_brand", """
+SELECT p_brand, p_partkey, p_name, p_retailprice, rnk FROM (
+  SELECT p_brand, p_partkey, p_name, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+  FROM part) s
+WHERE rnk <= 3
+""")
+def q02(spark, sf_dir):
+    """T1/W1: top-k per group via window row_number (TakeOrdered analogue)."""
+    p = t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"),
+                                              F.asc("p_partkey"))
+    return (p.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("p_brand", "p_partkey", "p_name", "p_retailprice", "rnk"))
+
+
+@q("q03_revenue_by_nation", """
+SELECT n.n_name AS nation, COUNT(*) AS orders_cnt,
+       ROUND(SUM(o.o_totalprice), 4) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""")
+def q03(spark, sf_dir):
+    """J1-as-batch: two equi-joins (fact-dim) + agg; nation broadcast."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count("*").alias("orders_cnt"),
+                 F.round(F.sum("o_totalprice"), 4).alias("revenue")))
+
+
+@q("q04_region_customer_rollup", """
+SELECT r.r_name AS region, COUNT(*) AS customers,
+       ROUND(SUM(c.c_acctbal), 4) AS acctbal_sum
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""")
+def q04(spark, sf_dir):
+    """J2: broadcast-join chain over tiny dims (doc_profile analogue)."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("r_name").alias("region"))
+            .agg(F.count("*").alias("customers"),
+                 F.round(F.sum("c_acctbal"), 4).alias("acctbal_sum")))
+
+
+@q("q05_customers_with_orders", """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def q05(spark, sf_dir):
+    """Left-semi join."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+@q("q06_customers_without_orders", """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def q06(spark, sf_dir):
+    """Left-anti join."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+@q("q07_order_share_per_customer", """
+SELECT o_orderkey, o_custkey,
+       ROUND(o_totalprice / SUM(o_totalprice) OVER (PARTITION BY o_custkey), 6)
+         AS price_share,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+FROM orders
+""")
+def q07(spark, sf_dir):
+    """W2: windowed share + rank (coverage-share analogue,
+    watermark_detector.py:170-175)."""
+    o = t(spark, sf_dir, "orders")
+    share_w = Window.partitionBy("o_custkey")
+    rank_w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"),
+                                                     F.asc("o_orderkey"))
+    return (o.select("o_orderkey", "o_custkey",
+                     F.round(F.col("o_totalprice")
+                             / F.sum("o_totalprice").over(share_w), 6)
+                      .alias("price_share"),
+                     F.row_number().over(rank_w).alias("rnk")))
+
+
+@q("q08_events_hourly", """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def q08(spark, sf_dir):
+    """X1-as-batch: tumbling event-time window aggregation."""
+    e = t(spark, sf_dir, "events")
+    return (e.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"),
+                      "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+@q("q09_events_json_props", """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+       COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY 1
+""")
+def q09(spark, sf_dir):
+    """F13: JSON prop extraction + agg."""
+    e = t(spark, sf_dir, "events")
+    return (e.groupBy((F.get_json_object("props", "$.k").cast("int") % 10)
+                      .alias("k_mod"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("value"), 4).alias("avg_value")))
+
+
+@q("q10_sessionize_events", """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > 1800000000 OR
+              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged)
+SELECT user_id, session_no, COUNT(*) AS events_in_session,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessions GROUP BY user_id, session_no
+""")
+def q10(spark, sf_dir):
+    """X3-as-batch: sessionization via gaps-and-islands (30-min gap)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # NTZ->LTZ is identity (UTC session)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull()
+               | (us - F.lag(us).over(w) > 1800 * 1_000_000), 1).otherwise(0))
+    cum = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (flagged.withColumn("session_no", F.sum("new_session").over(cum))
+            .groupBy("user_id", "session_no")
+            .agg(F.count("*").alias("events_in_session"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end")))
+
+
+# ===========================================================================
+# Token-domain analytics over `embeddings` (A1-A5, A10, R1, W1/W2)
+# ===========================================================================
+
+def _quantize(col):
+    """embedding float -> 0..255 token class (the P1 bucketing applied to the
+    driver's float arrays): clip(floor(v*128+128), 0, 255)."""
+    return (F.least(F.lit(255.0), F.greatest(F.lit(0.0),
+            F.floor(col.cast("double") * 128 + 128)))).cast("int")
+
+
+_Q_SQL = "CAST(LEAST(255, GREATEST(0, FLOOR(CAST({v} AS DOUBLE)*128+128))) AS INT)"
+
+
+def _emb_tokens(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "label",
+                    F.transform("embedding", _quantize).alias("tokens"))
+
+
+@q("q11_token_histogram", f"""
+SELECT {_Q_SQL.format(v='v')} AS tok, COUNT(*) AS cnt
+FROM (SELECT UNNEST(embedding) AS v FROM embeddings)
+GROUP BY 1
+""")
+def q11(spark, sf_dir):
+    """A1: 256-bin value histogram (cv2.calcHist analogue) over quantized
+    embedding values — explode + partial hash agg."""
+    e = t(spark, sf_dir, "embeddings")
+    return (e.select(F.explode("embedding").alias("v"))
+            .select(_quantize(F.col("v")).alias("tok"))
+            .groupBy("tok").agg(F.count("*").alias("cnt")))
+
+
+@q("q12_top_modes", f"""
+WITH hist AS (
+  SELECT {_Q_SQL.format(v='v')} AS tok, COUNT(*) AS cnt
+  FROM (SELECT UNNEST(embedding) AS v FROM embeddings) GROUP BY 1)
+SELECT tok, cnt, rnk FROM (
+  SELECT tok, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok DESC) AS rnk
+  FROM hist) s
+WHERE rnk <= 10
+""")
+def q12(spark, sf_dir):
+    """A2/T1: top-10 histogram modes (watermark_detector.py:168-172); ties
+    break toward the higher token value (engine spec)."""
+    hist = QUERIES["q11_token_histogram"](spark, sf_dir)
+    w = Window.orderBy(F.desc("cnt"), F.desc("tok"))
+    return (hist.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 10).select("tok", "cnt", "rnk"))
+
+
+@q("q13_dominant_token", f"""
+WITH hist AS (
+  SELECT label, {_Q_SQL.format(v='v')} AS tok, COUNT(*) AS cnt
+  FROM (SELECT label, UNNEST(embedding) AS v FROM embeddings) GROUP BY 1, 2),
+ranked AS (
+  SELECT label, tok, cnt,
+         cnt * 100.0 / SUM(cnt) OVER (PARTITION BY label) AS coverage_pct,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY cnt DESC, tok DESC) AS rnk
+  FROM hist),
+qual AS (
+  SELECT label, tok, coverage_pct, rnk,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY rnk) AS pick
+  FROM ranked
+  WHERE rnk <= 10 AND tok BETWEEN 100 AND 250
+    AND coverage_pct BETWEEN 1 AND 20)
+SELECT label, tok AS wm_token, ROUND(coverage_pct, 6) AS coverage_pct
+FROM qual WHERE pick = 1
+""")
+def q13(spark, sf_dir):
+    """A3: dominant-watermark-token selection per label
+    (detect_watermark_color, watermark_detector.py:147-191) through the
+    engine's dominant_token operator."""
+    dom = oh.dominant_token(_emb_tokens(spark, sf_dir), ["label"])
+    return dom.select("label", "wm_token",
+                      F.round("coverage_pct", 6).alias("coverage_pct"))
+
+
+@q("q14_classify_bins", f"""
+WITH hist AS (
+  SELECT label, {_Q_SQL.format(v='v')} AS tok, COUNT(*) AS cnt
+  FROM (SELECT label, UNNEST(embedding) AS v FROM embeddings) GROUP BY 1, 2),
+share AS (
+  SELECT label, tok, cnt,
+         cnt * 100.0 / SUM(cnt) OVER (PARTITION BY label) AS cov
+  FROM hist),
+scored AS (
+  SELECT label, tok, cov,
+    CASE WHEN tok BETWEEN 240 AND 255 AND cov > 60 THEN 'background'
+         WHEN tok BETWEEN 180 AND 240 AND cov BETWEEN 2 AND 15 THEN 'watermark'
+         WHEN tok BETWEEN 0 AND 80 AND cov < 5 THEN 'text'
+         ELSE 'noise' END AS color_type,
+    ((1 - ABS(tok - 210) / 40.0) * 0.5 + (1 - ABS(cov - 8) / 8.0) * 0.5) * 100
+      AS base_conf
+  FROM share)
+SELECT label, tok, color_type,
+  ROUND(CASE WHEN color_type = 'watermark' THEN
+    GREATEST(20.0, LEAST(100.0,
+      CASE WHEN cov BETWEEN 3 AND 10 THEN LEAST(100.0, base_conf + 30)
+           ELSE base_conf END))
+  ELSE 0.0 END, 4) AS confidence
+FROM scored
+""")
+def q14(spark, sf_dir):
+    """A4: color-type classification + piecewise-linear confidence
+    (_classify_color, color_analyzer.py:30-63)."""
+    hist = oh.token_histogram(_emb_tokens(spark, sf_dir), ["label"])
+    share = hist.withColumn(
+        "cov", F.col("cnt") * 100.0
+        / F.sum("cnt").over(Window.partitionBy("label")))
+    color_type = (
+        F.when((F.col("tok").between(240, 255)) & (F.col("cov") > 60), "background")
+        .when((F.col("tok").between(180, 240)) & (F.col("cov").between(2, 15)),
+              "watermark")
+        .when((F.col("tok").between(0, 80)) & (F.col("cov") < 5), "text")
+        .otherwise("noise"))
+    base = ((1 - F.abs(F.col("tok") - 210) / 40.0) * 0.5
+            + (1 - F.abs(F.col("cov") - 8) / 8.0) * 0.5) * 100
+    boosted = F.when(F.col("cov").between(3, 10),
+                     F.least(F.lit(100.0), base + 30)).otherwise(base)
+    conf = F.when(F.col("color_type") == "watermark",
+                  F.greatest(F.lit(20.0), F.least(F.lit(100.0), boosted))
+                  ).otherwise(F.lit(0.0))
+    return (share.withColumn("color_type", color_type)
+            .withColumn("confidence", F.round(conf, 4))
+            .select("label", "tok", "color_type", "confidence"))
+
+
+@q("q15_wm_coverage", f"""
+SELECT vec_id,
+       ROUND(AVG(CASE WHEN ABS({_Q_SQL.format(v='v')} - 200) < 30
+                 THEN 1.0 ELSE 0.0 END), 6) AS coverage
+FROM (SELECT vec_id, UNNEST(embedding) AS v FROM embeddings)
+GROUP BY vec_id
+""")
+def q15(spark, sf_dir):
+    """A5/P2: per-row coverage of the watermark-range predicate."""
+    e = t(spark, sf_dir, "embeddings")
+    return (e.select("vec_id", F.explode("embedding").alias("v"))
+            .groupBy("vec_id")
+            .agg(F.round(F.avg(
+                F.when(F.abs(_quantize(F.col("v")) - 200) < 30, 1.0)
+                .otherwise(0.0)), 6).alias("coverage")))
+
+
+@q("q16_mask_runs", """
+WITH pos AS (
+  SELECT vec_id, i AS pos, embedding[i + 1] AS v
+  FROM embeddings CROSS JOIN range(64) t(i)),
+masked AS (
+  SELECT vec_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY pos) AS island
+  FROM pos WHERE v > 0)
+SELECT vec_id, MIN(pos) AS run_start, COUNT(*) AS run_len
+FROM masked GROUP BY vec_id, island
+HAVING COUNT(*) >= 4
+""")
+def q16(spark, sf_dir):
+    """R1 relational flavor: gaps-and-islands run filter (the
+    connected-component area filter, watermark_detector.py:772-789)."""
+    e = t(spark, sf_dir, "embeddings")
+    pos = e.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+    w = Window.partitionBy("vec_id").orderBy("pos")
+    masked = (pos.where(F.col("v") > 0)
+              .withColumn("island", F.col("pos") - F.row_number().over(w)))
+    return (masked.groupBy("vec_id", "island")
+            .agg(F.min("pos").alias("run_start"),
+                 F.count("*").alias("run_len"))
+            .where(F.col("run_len") >= 4)
+            .select("vec_id", "run_start", "run_len"))
+
+
+@q("q17_color_discreteness", f"""
+WITH quant AS (
+  SELECT label, ({_Q_SQL.format(v='v')} // 8) * 8 AS qtok
+  FROM (SELECT label, UNNEST(embedding) AS v FROM embeddings))
+SELECT label, COUNT(DISTINCT qtok) AS n_quant,
+       ROUND(LEAST(100.0, GREATEST(0.0, 100.0 - COUNT(DISTINCT qtok) / 2.0)), 4)
+         AS discreteness
+FROM quant GROUP BY label
+""")
+def q17(spark, sf_dir):
+    """A10: color-discreteness score (_analyze_color_discreteness,
+    document_classifier.py:77-97): distinct count of 8-quantized values."""
+    e = t(spark, sf_dir, "embeddings")
+    quant = e.select("label", F.explode("embedding").alias("v")).select(
+        "label", (F.floor(_quantize(F.col("v")) / 8) * 8).alias("qtok"))
+    return (quant.groupBy("label")
+            .agg(F.countDistinct("qtok").alias("n_quant"),
+                 F.round(F.least(F.lit(100.0), F.greatest(
+                     F.lit(0.0),
+                     100.0 - F.countDistinct("qtok") / 2.0)), 4)
+                 .alias("discreteness")))
+
+
+# ===========================================================================
+# Text analysis / training-data ops over `documents` (F5/F6, dedup, quality)
+# ===========================================================================
+
+@q("q18_content_classify", """
+WITH typed AS (
+  SELECT doc_id, text,
+    CASE WHEN text LIKE 'http://%' OR text LIKE 'https://%'
+              OR text LIKE 'www.%' THEN 'url'
+         WHEN text LIKE 'WIFI:%' THEN 'wifi'
+         WHEN text LIKE 'BEGIN:VCARD%' OR upper(text) LIKE '%VCARD%'
+           THEN 'contact'
+         WHEN text LIKE 'mailto:%' OR text LIKE '%@%' THEN 'email'
+         WHEN text LIKE 'tel:%' OR
+              (length(regexp_replace(text, '[^0-9]', '', 'g')) BETWEEN 7 AND 15
+               AND regexp_matches(text, '[0-9]')) THEN 'phone'
+         WHEN text LIKE 'sms:%' OR text LIKE 'SMSTO:%' THEN 'sms'
+         WHEN text LIKE 'geo:%' OR
+              regexp_matches(text, '-?\\d+\\.\\d+\\s*,\\s*-?\\d+\\.\\d+')
+           THEN 'location'
+         WHEN text LIKE 'BEGIN:VEVENT%' OR upper(text) LIKE '%VEVENT%'
+           THEN 'calendar'
+         ELSE 'text' END AS qr_type
+  FROM documents),
+cat AS (
+  SELECT doc_id, qr_type,
+    CASE qr_type
+      WHEN 'url' THEN 'website'
+      WHEN 'contact' THEN 'contact'
+      WHEN 'email' THEN 'email'
+      WHEN 'phone' THEN 'phone'
+      WHEN 'sms' THEN 'sms'
+      WHEN 'location' THEN 'location'
+      WHEN 'calendar' THEN 'calendar'
+      ELSE CASE
+        WHEN lower((SELECT text FROM documents d2 WHERE d2.doc_id = cat0.doc_id))
+             SIMILAR TO '%(promo|discount|sale|offer|deal|coupon|advertisement|ad)%'
+          THEN 'advertisement'
+        WHEN lower((SELECT text FROM documents d2 WHERE d2.doc_id = cat0.doc_id))
+             SIMILAR TO '%(help|support|manual|guide|documentation|info|about)%'
+          THEN 'documentation'
+        ELSE 'general' END
+    END AS category
+  FROM typed cat0)
+SELECT qr_type, category, COUNT(*) AS n
+FROM cat GROUP BY qr_type, category
+""")
+def q18(spark, sf_dir):
+    """F5/F6: QR-content classification (_classify_qr_content,
+    qr_detector.py:309-350; keyword heuristics :57-89) applied to
+    documents.text; category histogram (A7)."""
+    d = t(spark, sf_dir, "documents")
+    digits = F.regexp_replace("text", "[^0-9]", "")
+    qr_type = (
+        F.when(F.col("text").startswith("http://")
+               | F.col("text").startswith("https://")
+               | F.col("text").startswith("www."), "url")
+        .when(F.col("text").startswith("WIFI:"), "wifi")
+        .when(F.col("text").startswith("BEGIN:VCARD")
+              | F.upper("text").contains("VCARD"), "contact")
+        .when(F.col("text").startswith("mailto:")
+              | F.col("text").contains("@"), "email")
+        .when(F.col("text").startswith("tel:")
+              | (F.length(digits).between(7, 15)
+                 & F.col("text").rlike("[0-9]")), "phone")
+        .when(F.col("text").startswith("sms:")
+              | F.col("text").startswith("SMSTO:"), "sms")
+        .when(F.col("text").startswith("geo:")
+              | F.col("text").rlike(r"-?\d+\.\d+\s*,\s*-?\d+\.\d+"), "location")
+        .when(F.col("text").startswith("BEGIN:VEVENT")
+              | F.upper("text").contains("VEVENT"), "calendar")
+        .otherwise("text"))
+    lower = F.lower("text")
+    text_cat = (
+        F.when(lower.rlike("(promo|discount|sale|offer|deal|coupon|"
+                           "advertisement|ad)"), "advertisement")
+        .when(lower.rlike("(help|support|manual|guide|documentation|info|"
+                          "about)"), "documentation")
+        .otherwise("general"))
+    category = (
+        F.when(F.col("qr_type") == "url", "website")
+        .when(F.col("qr_type").isin("contact", "email", "phone", "sms",
+                                    "location", "calendar"), F.col("qr_type"))
+        .when(F.col("qr_type") == "wifi", text_cat)
+        .otherwise(text_cat))
+    return (d.withColumn("qr_type", qr_type)
+            .withColumn("category", category)
+            .groupBy("qr_type", "category").agg(F.count("*").alias("n")))
+
+
+@q("q19_digit_stats", """
+SELECT length(regexp_replace(props, '[^0-9]', '', 'g')) AS n_digits,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+""")
+def q19(spark, sf_dir):
+    """F6: digit extraction + length histogram (_is_phone_number,
+    qr_detector.py:38-45)."""
+    e = t(spark, sf_dir, "events")
+    return (e.groupBy(F.length(F.regexp_replace("props", "[^0-9]", ""))
+                      .alias("n_digits"))
+            .agg(F.count("*").alias("n")))
+
+
+@q("q20_exact_dedup", """
+SELECT md5(substring(text, 1, 40)) AS text_key,
+       COUNT(*) AS copies, MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1
+""")
+def q20(spark, sf_dir):
+    """Exact near-prefix dedup: hash-groupBy, keep lowest doc_id
+    (training-data dedup op #1)."""
+    d = t(spark, sf_dir, "documents")
+    return (d.groupBy(F.md5(F.substring("text", 1, 40)).alias("text_key"))
+            .agg(F.count("*").alias("copies"),
+                 F.min("doc_id").alias("keep_id")))
+
+
+@q("q21_jaccard_pairs", """
+WITH words AS (
+  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word
+  FROM documents),
+sizes AS (SELECT doc_id, COUNT(*) AS nw FROM words GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS both_cnt
+  FROM words a JOIN words b ON a.word = b.word AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 20 = 0
+  GROUP BY a.doc_id, b.doc_id)
+SELECT i.a_id, i.b_id,
+       ROUND(CAST(i.both_cnt AS DOUBLE)
+             / (sa.nw + sb.nw - i.both_cnt), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a_id
+JOIN sizes sb ON sb.doc_id = i.b_id
+WHERE CAST(i.both_cnt AS DOUBLE) / (sa.nw + sb.nw - i.both_cnt) >= 0.5
+""")
+def q21(spark, sf_dir):
+    """Word-set Jaccard near-dup pairs (n-gram Jaccard dedup op):
+    explode -> equi-join on word -> group -> size join."""
+    d = t(spark, sf_dir, "documents")
+    words = (d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+             .distinct())
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("nw"))
+    a = words.alias("a")
+    b = words.alias("b")
+    inter = (a.where(F.col("a.doc_id") % 20 == 0)
+             .join(b, (F.col("a.word") == F.col("b.word"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("a_id"),
+                      F.col("b.doc_id").alias("b_id"))
+             .agg(F.count("*").alias("both_cnt")))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (F.col("both_cnt").cast("double")
+           / (F.col("sa.nw") + F.col("sb.nw") - F.col("both_cnt")))
+    return (inter.join(sa, F.col("sa.doc_id") == F.col("a_id"))
+            .join(sb, F.col("sb.doc_id") == F.col("b_id"))
+            .where(jac >= 0.5)
+            .select("a_id", "b_id", F.round(jac, 6).alias("jaccard")))
+
+
+@q("q22_token_stats", """
+SELECT source, COUNT(*) AS n_docs,
+       SUM(len(regexp_split_to_array(text, '\\s+'))) AS total_words,
+       ROUND(AVG(n_chars), 4) AS avg_chars
+FROM documents GROUP BY source
+""")
+def q22(spark, sf_dir):
+    """Token counting per source (training-data text-analysis op)."""
+    d = t(spark, sf_dir, "documents")
+    return (d.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.size(F.split("text", r"\s+"))).alias("total_words"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars")))
+
+
+@q("q23_doc_quality", """
+WITH w AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),
+m AS (
+  SELECT doc_id, COUNT(*) AS word_cnt,
+         COUNT(DISTINCT word) AS distinct_words,
+         AVG(CASE WHEN word IN ('the', 'a') THEN 1.0 ELSE 0.0 END)
+           AS stop_ratio
+  FROM w GROUP BY doc_id)
+SELECT doc_id, word_cnt, distinct_words, ROUND(stop_ratio, 6) AS stop_ratio,
+       CASE WHEN word_cnt >= 100 AND stop_ratio < 0.15 THEN 'high'
+            WHEN word_cnt >= 30 THEN 'medium'
+            ELSE 'low' END AS quality_bucket
+FROM m
+""")
+def q23(spark, sf_dir):
+    """Quality scoring: length/stopword heuristics (training-data op)."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    m = (w.groupBy("doc_id")
+         .agg(F.count("*").alias("word_cnt"),
+              F.countDistinct("word").alias("distinct_words"),
+              F.avg(F.when(F.col("word").isin("the", "a"), 1.0)
+                    .otherwise(0.0)).alias("stop_ratio")))
+    bucket = (F.when((F.col("word_cnt") >= 100) & (F.col("stop_ratio") < 0.15),
+                     "high")
+              .when(F.col("word_cnt") >= 30, "medium").otherwise("low"))
+    return m.select("doc_id", "word_cnt", "distinct_words",
+                    F.round("stop_ratio", 6).alias("stop_ratio"),
+                    bucket.alias("quality_bucket"))
+
+
+# ===========================================================================
+# Similarity search over `embeddings` (ANN baseline + LSH scale path)
+# ===========================================================================
+
+_DOT = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)")
+
+
+@q("q24_cosine_topk", f"""
+WITH qv AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+            WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.q_id, e.vec_id AS cand_id,
+         {_DOT.format(a='q.qe', b='e.embedding')}
+         / sqrt({_DOT.format(a='q.qe', b='q.qe')})
+         / sqrt({_DOT.format(a='e.embedding', b='e.embedding')}) AS cos
+  FROM qv q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id)
+SELECT q_id, cand_id, ROUND(cos, 6) AS cos_sim, rnk FROM (
+  SELECT q_id, cand_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, cand_id ASC) AS rnk
+  FROM scored) s
+WHERE rnk <= 3
+""")
+def q24(spark, sf_dir):
+    """Brute-force cosine top-k (ANN baseline): broadcast the query set,
+    sequential-fold dot products (bit-exact vs the oracle), window top-k."""
+    e = t(spark, sf_dir, "embeddings")
+    qv = (e.where(F.col("vec_id") % 50 == 0)
+          .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    scored = (F.broadcast(qv).crossJoin(e)
+              .where(F.col("vec_id") != F.col("q_id"))
+              .select("q_id", F.col("vec_id").alias("cand_id"),
+                      (dot(F.col("qe"), F.col("embedding"))
+                       / F.sqrt(dot(F.col("qe"), F.col("qe")))
+                       / F.sqrt(dot(F.col("embedding"), F.col("embedding"))))
+                      .alias("cos")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("q_id", "cand_id", F.round("cos", 6).alias("cos_sim"),
+                    "rnk"))
+
+
+_WORDHASH = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+             "list_transform(string_split({w}, ''), "
+             "c -> CAST(ascii(c) AS BIGINT))), "
+             "(acc, x) -> (acc * 31 + x) % 1000000007)")
+
+
+@q("q25_minhash_signatures", f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word
+  FROM documents),
+hashed AS (SELECT doc_id, {_WORDHASH.format(w='word')} AS wh FROM words),
+params AS (SELECT i, [3,5,7,11,13,17,19,23][i+1] AS a, i + 1 AS b
+           FROM range(8) t(i))
+SELECT h.doc_id, p.i AS hash_i,
+       MIN((p.a * h.wh + p.b) % 1000000007) AS minhash
+FROM hashed h CROSS JOIN params p
+GROUP BY h.doc_id, p.i
+""")
+def q25(spark, sf_dir):
+    """MinHash signatures (dedup op #2): polynomial word hash + k=8
+    universal-hash min-fold; shuffle is O(docs x 8)."""
+    d = t(spark, sf_dir, "documents")
+    words = (d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+             .distinct())
+    wh = F.aggregate(
+        F.split("word", ""), F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % 1000000007)
+    hashed = words.select("doc_id", wh.alias("wh"))
+    a_vals = [3, 5, 7, 11, 13, 17, 19, 23]
+    params = spark.createDataFrame(
+        [(i, a_vals[i], i + 1) for i in range(8)], "i int, a int, b int")
+    return (hashed.crossJoin(F.broadcast(params))
+            .groupBy("doc_id", F.col("i").alias("hash_i"))
+            .agg(F.min((F.col("a") * F.col("wh") + F.col("b")) % 1000000007)
+                 .alias("minhash")))
+
+
+@q("q26_minhash_dup_pairs", f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word
+  FROM documents),
+hashed AS (SELECT doc_id, {_WORDHASH.format(w='word')} AS wh FROM words),
+params AS (SELECT i, [3,5,7,11,13,17,19,23][i+1] AS a, i + 1 AS b
+           FROM range(8) t(i)),
+sig AS (
+  SELECT h.doc_id, p.i, MIN((p.a * h.wh + p.b) % 1000000007) AS mh
+  FROM hashed h CROSS JOIN params p GROUP BY h.doc_id, p.i)
+SELECT s1.doc_id AS a_id, s2.doc_id AS b_id, COUNT(*) AS matches
+FROM sig s1 JOIN sig s2 ON s1.i = s2.i AND s1.mh = s2.mh
+                        AND s1.doc_id < s2.doc_id
+GROUP BY s1.doc_id, s2.doc_id
+HAVING COUNT(*) >= 4
+""")
+def q26(spark, sf_dir):
+    """MinHash-LSH candidate pairs: signature band join, >=4/8 matching
+    components (estimated Jaccard >= 0.5)."""
+    sig = QUERIES["q25_minhash_signatures"](spark, sf_dir) \
+        .withColumnRenamed("hash_i", "i").withColumnRenamed("minhash", "mh")
+    s1 = sig.alias("s1")
+    s2 = sig.alias("s2")
+    return (s1.join(s2, (F.col("s1.i") == F.col("s2.i"))
+                    & (F.col("s1.mh") == F.col("s2.mh"))
+                    & (F.col("s1.doc_id") < F.col("s2.doc_id")))
+            .groupBy(F.col("s1.doc_id").alias("a_id"),
+                     F.col("s2.doc_id").alias("b_id"))
+            .agg(F.count("*").alias("matches"))
+            .where(F.col("matches") >= 4))
+
+
+@q("q27_simhash", f"""
+WITH words AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),
+hashed AS (SELECT doc_id, {_WORDHASH.format(w='word')} AS wh FROM words),
+bits AS (
+  SELECT h.doc_id, j.j,
+         CASE WHEN SUM(CASE WHEN (h.wh >> j.j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+  FROM hashed h CROSS JOIN range(16) j(j)
+  GROUP BY h.doc_id, j.j)
+SELECT doc_id, SUM(bit << j) AS simhash16 FROM bits GROUP BY doc_id
+""")
+def q27(spark, sf_dir):
+    """SimHash fingerprint (dedup op #3): 16-bit sign-of-weighted-bits over
+    frequency-weighted word hashes."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    wh = F.aggregate(
+        F.split("word", ""), F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % 1000000007)
+    hashed = words.select("doc_id", wh.alias("wh"))
+    js = spark.range(16).select(F.col("id").cast("int").alias("j"))
+    bits = (hashed.crossJoin(F.broadcast(js))
+            .groupBy("doc_id", "j")
+            .agg(F.sum(F.when(F.expr("(wh >> j) & 1 = 1"), 1)
+                       .otherwise(-1)).alias("s"))
+            .withColumn("bit", F.when(F.col("s") > 0, F.lit(1).cast("long"))
+                        .otherwise(F.lit(0).cast("long"))))
+    return (bits.groupBy("doc_id")
+            .agg(F.sum(F.expr("bit << j")).alias("simhash16")))
+
+
+@q("q28_lsh_buckets", """
+WITH planes AS (SELECT j FROM range(4) t(j)),
+dots AS (
+  SELECT e.vec_id, p.j,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(list_zip(e.embedding, range(64)),
+             q -> CAST(q[1] AS DOUBLE) * (((q[2] * p.j + 7) % 13) - 6))),
+           (x, y) -> x + y) AS dot
+  FROM embeddings e CROSS JOIN planes p)
+SELECT vec_id,
+       SUM(CASE WHEN dot > 0 THEN 1 << j ELSE 0 END) AS bucket
+FROM dots GROUP BY vec_id
+""")
+def q28(spark, sf_dir):
+    """Random-hyperplane LSH bucket assignment (ANN scale path): 4
+    deterministic integer hyperplanes -> 16 buckets; sequential-fold dots
+    are bit-exact vs the oracle."""
+    e = t(spark, sf_dir, "embeddings")
+    js = spark.range(4).select(F.col("id").cast("int").alias("j"))
+    dot = F.aggregate(
+        F.zip_with("embedding", F.sequence(F.lit(0), F.lit(63)),
+                   lambda v, i: v.cast("double")
+                   * (((i * F.col("j") + 7) % 13) - 6).cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    dots = e.crossJoin(F.broadcast(js)).select("vec_id", "j", dot.alias("dot"))
+    return (dots.groupBy("vec_id")
+            .agg(F.sum(F.when(F.col("dot") > 0,
+                              F.expr("1 << j")).otherwise(0)).alias("bucket")))
+
+
+# ===========================================================================
+# Flagship: the detection pipeline on char-token arrays from real text
+# ===========================================================================
+
+def _char_tokens(spark, sf_dir):
+    """documents.text -> (doc_id, source, tokens:array<int>) via per-char
+    ascii — the deterministic token table derived from driver data."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.transform(F.split("text", ""), lambda c: F.ascii(c))
+    return d.select("doc_id", "source", toks.alias("tokens"))
+
+
+@q("q29_dominant_char_token", """
+WITH toks AS (
+  SELECT source,
+         UNNEST(list_transform(string_split(text, ''), c -> ascii(c))) AS tok
+  FROM documents),
+hist AS (SELECT source, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT source, tok, cnt,
+         cnt * 100.0 / SUM(cnt) OVER (PARTITION BY source) AS coverage_pct,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY cnt DESC, tok DESC) AS rnk
+  FROM hist),
+qual AS (
+  SELECT source, tok, coverage_pct, rnk,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY rnk) AS pick
+  FROM ranked
+  WHERE rnk <= 10 AND tok BETWEEN 100 AND 250
+    AND coverage_pct BETWEEN 1 AND 20)
+SELECT source, tok AS wm_token, ROUND(coverage_pct, 6) AS coverage_pct
+FROM qual WHERE pick = 1
+""")
+def q29(spark, sf_dir):
+    """Flagship A1+A2+A3: dominant-token detection per source over real
+    char-token arrays (detect_watermark_color, watermark_detector.py:147-191,
+    generalized across a corpus)."""
+    dom = oh.dominant_token(_char_tokens(spark, sf_dir), ["source"])
+    return dom.select("source", "wm_token",
+                      F.round("coverage_pct", 6).alias("coverage_pct"))
+
+
+@q("q30_otsu_per_source", """
+WITH toks AS (
+  SELECT source,
+         UNNEST(list_transform(string_split(text, ''), c -> ascii(c))) AS tok
+  FROM documents),
+hist AS (SELECT source, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+cum AS (
+  SELECT source, tok, cnt,
+         SUM(cnt) OVER (PARTITION BY source ORDER BY tok
+                        ROWS UNBOUNDED PRECEDING) AS w0,
+         SUM(cnt * tok) OVER (PARTITION BY source ORDER BY tok
+                              ROWS UNBOUNDED PRECEDING) AS m0,
+         SUM(cnt) OVER (PARTITION BY source) AS total,
+         SUM(cnt * tok) OVER (PARTITION BY source) AS mu_t
+  FROM hist),
+scored AS (
+  SELECT source, tok,
+         POW(mu_t * w0 - m0, 2.0) / (w0 * (total - w0)) AS between_var
+  FROM cum WHERE w0 > 0 AND total - w0 > 0)
+SELECT source, tok AS otsu_threshold FROM (
+  SELECT source, tok,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY between_var DESC, tok ASC) AS rn
+  FROM scored) s
+WHERE rn = 1
+""")
+def q30(spark, sf_dir):
+    """Otsu threshold per source over char-token histograms — the pure-SQL
+    window formulation (SURVEY §4.3) through the engine's otsu_sql."""
+    hist = oh.token_histogram(_char_tokens(spark, sf_dir), ["source"])
+    return oo.otsu_sql(hist, ["source"])
+
+
+# ===========================================================================
+# Rows-only queries (kernel UDFs / mapInPandas — not SQL-expressible; the
+# driver records a weaker rows-only check, pytest covers exact parity)
+# ===========================================================================
+
+@q("q40_repair_char_tokens")
+def q40(spark, sf_dir):
+    """Full fused detect+repair pipeline (K1+K2 multi-pass) over char-token
+    arrays from documents.text; exact parity vs reference_kernels is covered
+    by tests/test_engine_parity.py."""
+    from ..operators.repair import repair_sequences
+    from ..params import DEFAULT_PARAMS
+    df = _char_tokens(spark, sf_dir).withColumn("seq_no", F.lit(0).cast("long"))
+    params = DEFAULT_PARAMS.with_(passes=2, min_run=5)
+    out = repair_sequences(df.select("doc_id", "seq_no", "source", "tokens"),
+                           params)
+    return out.select("doc_id", "source", F.size("tokens").alias("n_out"),
+                      F.round("coverage", 6).alias("coverage"), "wm_token",
+                      "pass_count")
+
+
+@q("q41_detect_char_masks")
+def q41(spark, sf_dir):
+    """Detection-only kernel (detect_masks intermediate): per-doc mask stats."""
+    from ..functions import mask_exprs as mxx
+    from ..operators.repair import detect_masks
+    from ..params import DEFAULT_PARAMS
+    df = _char_tokens(spark, sf_dir).withColumn("seq_no", F.lit(0).cast("long"))
+    out = detect_masks(df.select("doc_id", "seq_no", "source", "tokens"),
+                       DEFAULT_PARAMS.with_(min_run=5))
+    return out.select("doc_id", "source", "wm_token",
+                      F.round("coverage", 6).alias("coverage"),
+                      mxx.mask_count(F.col("mask")).alias("masked_positions"))
+
+
+@q("q42_doc_profiles")
+def q42(spark, sf_dir):
+    """A10-A14 classifier + J2 broadcast param join (doc_profile dim)."""
+    from ..operators.classify import classify_sources
+    df = _char_tokens(spark, sf_dir).withColumn("seq_no", F.lit(0).cast("long"))
+    prof = classify_sources(df)
+    return prof.select("source", "doc_type", F.round("confidence", 4)
+                       .alias("confidence"), "color_tolerance", "kernel_size",
+                       "inpaint_strength", "passes")
+
+
+@q("q43_multimodal_features")
+def q43(spark, sf_dir):
+    """Multimodal plumbing: binary payload + metadata struct -> mapInPandas
+    feature extraction (decode stubbed deterministically)."""
+    from ..sources.multimodal import extract_features, to_media_df
+    docs = t(spark, sf_dir, "documents")
+    return extract_features(to_media_df(docs))

@@ -1,0 +1,66 @@
+"""Local replica of the driver's correctness gate: run every registered
+Spark query at sf0.01 and diff it against its DuckDB oracle (row count,
+sorted column names, order-insensitive values)."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from pdf_watermark_removal_otsu_inpaint_spark.plans.queries import ORACLES, QUERIES
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.execute(f"CREATE VIEW {tbl} AS "
+                    f"SELECT * FROM '{SF_DIR}/{tbl}.parquet'")
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # driver-style value normalization: fixed decimal print
+        return f"{v:.6f}"
+    if isinstance(v, list):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, ddb, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+    ores = ddb.execute(ORACLES[name])
+    ocols = [d[0] for d in ores.description]
+    orows = ores.fetchall()
+    assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
+    assert len(srows) == len(orows), (
+        f"{name}: row count {len(srows)} vs oracle {len(orows)}")
+    sn, on = _norm(srows, scols), _norm(orows, ocols)
+    mism = [i for i, (a, b) in enumerate(zip(sn, on)) if a != b]
+    assert not mism, (f"{name}: {len(mism)} mismatched rows; first: "
+                      f"{sn[mism[0]]} vs {on[mism[0]]}")
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_query_runs(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
