@@ -1,0 +1,187 @@
+"""Structured Streaming pipeline (north_star): rate/file sequence stream ->
+windowed histograms (X1-X3) -> detection -> stream-stream join of masks with
+the raw stream (X6) -> repair -> exactly-once sink (X7/X8), with event-time
+watermarks (X4) and explicit salting for hot sources (X9).
+
+One code path: the streaming transformations reuse the exact batch operators
+(histogram.windowed_histogram, repair.make_apply_mask_udf, detect UDFs), so
+batch parity == streaming parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.repair import make_apply_mask_udf
+from ..params import DEFAULT_PARAMS, EngineParams
+from ..sources.synth import tok_expr
+from .sink import ExactlyOnceParquetSink
+
+SEQ_SCHEMA = ("doc_id string, tokens array<int>, n_tok int, source string, "
+              "event_ts timestamp, seq_no long")
+
+
+def rate_stream(spark: SparkSession, rows_per_sec: int = 100,
+                n_tok: int = 2048, n_docs: int = 64) -> DataFrame:
+    """Synthetic sequence stream off the rate source (stream_smoke fixture):
+    same cluster-side token expressions as sources.synth."""
+    lo, hi = int(0.05 * n_tok), int(0.25 * n_tok)
+    t1a, t1b = int(0.11 * n_tok), int(0.1175 * n_tok)
+    t2a, t2b = int(0.19 * n_tok), int(0.1975 * n_tok)
+    tokens = F.transform(F.sequence(F.lit(0), F.lit(n_tok - 1)),
+                         lambda i: tok_expr(i, lo, hi, t1a, t1b, t2a, t2b))
+    raw = (spark.readStream.format("rate")
+           .option("rowsPerSecond", rows_per_sec).load())
+    return (raw
+            .withColumn("doc_id", F.format_string(
+                "doc%06d", (F.col("value") % n_docs).cast("int")))
+            .withColumn("seq_no", (F.col("value") / n_docs).cast("long"))
+            .withColumn("source",
+                        F.when(F.col("value") % 10 < 6, F.lit("web"))
+                        .otherwise(F.format_string(
+                            "src%d", (F.col("value") % 10).cast("int"))))
+            .withColumn("event_ts", F.col("timestamp"))
+            .withColumn("tokens", tokens)
+            .withColumn("n_tok", F.lit(n_tok))
+            .select("doc_id", "tokens", "n_tok", "source", "event_ts",
+                    "seq_no"))
+
+
+def file_stream(spark: SparkSession, path: str,
+                max_files_per_trigger: int = 1) -> DataFrame:
+    """Deterministic micro-batch feed off parquet files (test harness)."""
+    return (spark.readStream.schema(SEQ_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+# --- X1-X3: event-time windows ------------------------------------------------
+def windowed_hist_stream(seq: DataFrame, duration: str = "1 minute",
+                         slide: str | None = None,
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling/sliding window token histogram with watermark-bounded state."""
+    from ..functions import mask_exprs as mx
+    win = (F.window("event_ts", duration, slide) if slide
+           else F.window("event_ts", duration))
+    ex = (seq.withWatermark("event_ts", watermark)
+          .select(F.col("event_ts"), F.col("source"),
+                  F.explode(mx.bucket_tokens(F.col("tokens"))).alias("tok")))
+    return (ex.groupBy(win.alias("window"), "source", "tok")
+            .agg(F.count("*").alias("cnt")))
+
+
+def session_stats_stream(seq: DataFrame, gap: str = "30 seconds",
+                         watermark: str = "10 minutes") -> DataFrame:
+    """X3: session windows keyed by (source, doc_id) — a document is a burst
+    of rows (reference page loop, cli.py:892)."""
+    return (seq.withWatermark("event_ts", watermark)
+            .groupBy(F.session_window("event_ts", gap).alias("session"),
+                     "source", "doc_id")
+            .agg(F.count("*").alias("rows_in_session"),
+                 F.sum("n_tok").alias("tokens_in_session")))
+
+
+# --- X6: stream-stream join of detection masks with the raw stream -----------
+def join_masks_with_sequences(seq: DataFrame, masks: DataFrame,
+                              seq_watermark: str = "10 minutes",
+                              mask_watermark: str = "5 minutes") -> DataFrame:
+    """Inner equi-join on (doc_id, seq_no) with an event-time interval bound
+    so join state is watermark-bounded (SURVEY §2.4 J1)."""
+    s = (seq.withWatermark("event_ts", seq_watermark)
+         .select(F.col("doc_id").alias("s_doc_id"),
+                 F.col("seq_no").alias("s_seq_no"),
+                 F.col("event_ts").alias("s_event_ts"),
+                 "tokens", "n_tok", "source"))
+    m = (masks.withWatermark("event_ts", mask_watermark)
+         .select(F.col("doc_id").alias("m_doc_id"),
+                 F.col("seq_no").alias("m_seq_no"),
+                 F.col("event_ts").alias("m_event_ts"),
+                 "mask", "wm_token", "coverage"))
+    cond = ((F.col("s_doc_id") == F.col("m_doc_id"))
+            & (F.col("s_seq_no") == F.col("m_seq_no"))
+            & (F.col("m_event_ts") >= F.col("s_event_ts") - F.expr("interval 5 minutes"))
+            & (F.col("m_event_ts") <= F.col("s_event_ts") + F.expr("interval 5 minutes")))
+    return (s.join(m, cond, "inner")
+            .select(F.col("s_doc_id").alias("doc_id"),
+                    F.col("s_seq_no").alias("seq_no"),
+                    F.col("s_event_ts").alias("event_ts"),
+                    "source", "tokens", "n_tok", "mask", "wm_token",
+                    "coverage"))
+
+
+def repair_joined(joined: DataFrame,
+                  params: EngineParams = DEFAULT_PARAMS) -> DataFrame:
+    """Apply the K2 inpaint kernel to (tokens, mask) pairs post-join; P10
+    empty-mask rows pass through inside the kernel."""
+    repaired = make_apply_mask_udf(params)(F.col("tokens"), F.col("mask"))
+    return joined.select("doc_id", "seq_no", "event_ts", "source",
+                         repaired.alias("tokens"), "n_tok", "wm_token",
+                         "coverage")
+
+
+# --- X9: explicit salting for hot-source aggregations -------------------------
+def salted_source_stats(seq: DataFrame, n_salts: int = 8) -> DataFrame:
+    """Two-stage aggregation: pre-aggregate on (source, salt) so the
+    heavy-hitter source fans across n_salts reducers, then merge. AQE skew
+    split does not apply inside streaming micro-batches — salting is explicit
+    (SURVEY §4.2)."""
+    salt = F.pmod(F.hash("doc_id"), F.lit(n_salts))
+    partial = (seq.withColumn("salt", salt)
+               .groupBy("source", "salt")
+               .agg(F.count("*").alias("rows"),
+                    F.sum("n_tok").alias("tokens")))
+    return (partial.groupBy("source")
+            .agg(F.sum("rows").alias("rows"),
+                 F.sum("tokens").alias("tokens")))
+
+
+# --- end-to-end wiring ---------------------------------------------------------
+def run_repair_pipeline(seq: DataFrame, out_dir: str, checkpoint_dir: str,
+                        params: EngineParams = DEFAULT_PARAMS,
+                        trigger_once: bool = True):
+    """sequences stream -> detect (in-batch) -> repair -> exactly-once sink.
+
+    The detect+repair here uses the fused batch operators inside foreachBatch
+    (one Arrow crossing); the X5/X6 stateful variants are separate entry
+    points above. Returns the StreamingQuery."""
+    sink = ExactlyOnceParquetSink(out_dir)
+
+    def process(batch_df, batch_id):
+        from ..operators.repair import repair_sequences
+        sink(repair_sequences(batch_df, params), batch_id)
+
+    writer = (seq.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_stateful_pipeline(seq: DataFrame, out_dir: str, checkpoint_dir: str,
+                          params: EngineParams = DEFAULT_PARAMS,
+                          trigger_once: bool = True):
+    """X5+X6 composition: stateful detect stream joined back to the raw
+    stream, repaired, committed exactly-once.
+
+    Spark's multiple-stateful-operator check is conservative for
+    FlatMapGroupsInPandasWithState (it cannot see that our state op emits
+    every row with its ORIGINAL event_ts, never older than the late-filter
+    watermark). With the mask-side join watermark set equal to the sequence
+    watermark, no emitted row can be late for the join, so the chain is
+    correct and the check is disabled for this session."""
+    seq.sparkSession.conf.set(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+        "false")
+    from .state import detect_stream_stateful
+    masks = detect_stream_stateful(seq, params)
+    joined = join_masks_with_sequences(seq, masks,
+                                       seq_watermark="10 minutes",
+                                       mask_watermark="10 minutes")
+    repaired = repair_joined(joined, params)
+    sink = ExactlyOnceParquetSink(out_dir)
+    writer = (repaired.writeStream.foreachBatch(sink)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
