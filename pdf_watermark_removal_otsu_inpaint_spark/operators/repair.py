@@ -50,11 +50,11 @@ def make_detect_udf(params: EngineParams = DEFAULT_PARAMS):
         from .. import reference_kernels as rk
         masks, wms, covs = [], [], []
         for arr, w in zip(tokens.to_numpy(), wm.to_numpy()):
-            a = np.asarray(arr, dtype=np.int64)
+            a = np.asarray(arr)
             mask, wfound = rk.detect_refine(
                 a, _as_wm(w), p.color_tolerance, p.kernel_size,
                 p.protect_text, p.text_expand, p.min_run, p.max_run)
-            masks.append(mask.tolist())
+            masks.append(mask)  # np arrays: no per-element boxing on the way out
             wms.append(wfound)
             covs.append(rk.coverage(mask))
         return pd.DataFrame({"mask": masks, "wm_token": wms, "coverage": covs})
@@ -72,12 +72,12 @@ def make_repair_udf(params: EngineParams = DEFAULT_PARAMS):
         from .. import reference_kernels as rk
         out_t, out_c, out_w, out_p = [], [], [], []
         for arr, w in zip(tokens.to_numpy(), wm.to_numpy()):
-            a = np.asarray(arr, dtype=np.int64)
+            a = np.asarray(arr)
             res, n_passes, cov, wfound = rk.remove_watermark_multi_pass(
                 a, p.passes, _as_wm(w), p.color_tolerance, p.kernel_size,
                 p.protect_text, p.text_expand, p.min_run, p.max_run,
                 p.inpaint_radius, p.inpaint_strength)
-            out_t.append(res.astype(np.int32).tolist())
+            out_t.append(res.astype(np.int32, copy=False))
             out_c.append(cov)
             out_w.append(wfound)
             out_p.append(n_passes)
@@ -100,16 +100,16 @@ def make_apply_mask_udf(params: EngineParams = DEFAULT_PARAMS):
         from .. import reference_kernels as rk
         out = []
         for arr, m in zip(tokens.to_numpy(), mask.to_numpy()):
-            a = np.asarray(arr, dtype=np.int64)
+            a = np.asarray(arr)
             mk = np.asarray(m, dtype=bool)
             if not mk.any():
-                out.append(a.astype(np.int32).tolist())
+                out.append(np.asarray(a, dtype=np.int32))
                 continue
             cov = rk.coverage(mk)
             radius = rk.dynamic_radius(cov, p.inpaint_radius, p.inpaint_strength)
             filled = rk.inpaint_1d(a, mk, radius)
             out.append(rk.blend(a, filled, mk, p.inpaint_strength)
-                       .astype(np.int32).tolist())
+                       .astype(np.int32, copy=False))
         return pd.Series(out)
 
     return apply_mask
@@ -145,3 +145,100 @@ def repair_sequences(df: DataFrame, params: EngineParams = DEFAULT_PARAMS,
                       F.col("_r.coverage").alias("coverage"),
                       F.col("_r.wm_token").alias("wm_token"),
                       F.col("_r.pass_count").alias("pass_count")))
+
+
+# ---------------------------------------------------------------------------
+# Packed-binary path (the 10^12-scale physical layout).
+#
+# The logical input shape is fixed by BASELINE.json input_hint
+# (tokens: array<int32>), but at scale the engine stores token payloads as
+# little-endian int32 BinaryType blobs: parquet then decodes ONE value per
+# row (no per-element assembly), Arrow ships one buffer, and the Python
+# worker reads it zero-copy via np.frombuffer. Measured on this box, the
+# packed path roughly doubles pipeline throughput and fixes 8->32-core
+# scaling (see BENCH.md); pack/unpack adapters keep both views equivalent.
+# ---------------------------------------------------------------------------
+REPAIR_BIN_STRUCT = ("struct<tokens_bin:binary,coverage:double,wm_token:int,"
+                     "pass_count:int>")
+
+
+def make_pack_udf():
+    """array<int32> -> little-endian int32 binary blob."""
+
+    @pandas_udf("binary")
+    def pack(tokens: pd.Series) -> pd.Series:
+        return pd.Series([np.asarray(t, dtype="<i4").tobytes()
+                          for t in tokens.to_numpy()])
+
+    return pack
+
+
+def unpack_tokens(col: Column) -> "Column":
+    """binary blob -> array<int32>, JVM-side would need a codegen expr; the
+    engine keeps the packed form end-to-end and only unpacks for display or
+    parity checks (Arrow UDF)."""
+    @pandas_udf("array<int>")
+    def unpack(b: pd.Series) -> pd.Series:
+        return pd.Series([np.frombuffer(x, dtype="<i4") for x in b.to_numpy()])
+    return unpack(col)
+
+
+def make_repair_bin_udf(params: EngineParams = DEFAULT_PARAMS):
+    """Fused multi-pass detect+repair over packed binary token payloads."""
+    p = params
+
+    @pandas_udf(REPAIR_BIN_STRUCT)
+    def repair_bin(tb: pd.Series, wm: pd.Series) -> pd.DataFrame:
+        from .. import reference_kernels as rk
+        out_t, out_c, out_w, out_p = [], [], [], []
+        for b, w in zip(tb.to_numpy(), wm.to_numpy()):
+            a = np.frombuffer(b, dtype="<i4")
+            res, n_passes, cov, wfound = rk.remove_watermark_multi_pass(
+                a, p.passes, _as_wm(w), p.color_tolerance, p.kernel_size,
+                p.protect_text, p.text_expand, p.min_run, p.max_run,
+                p.inpaint_radius, p.inpaint_strength)
+            out_t.append(res.astype("<i4", copy=False).tobytes())
+            out_c.append(cov)
+            out_w.append(wfound)
+            out_p.append(n_passes)
+        return pd.DataFrame({"tokens_bin": out_t, "coverage": out_c,
+                             "wm_token": out_w, "pass_count": out_p})
+
+    return repair_bin
+
+
+def repair_sequences_packed(df: DataFrame,
+                            params: EngineParams = DEFAULT_PARAMS,
+                            wm_token: Column | None = None) -> DataFrame:
+    """Packed flavor of repair_sequences: expects a `tokens_bin` column."""
+    wm = wm_token if wm_token is not None else F.lit(None).cast("int")
+    r = make_repair_bin_udf(params)(F.col("tokens_bin"), wm)
+    keep = [c for c in ("doc_id", "seq_no", "event_ts", "source", "n_tok")
+            if c in df.columns]
+    return (df.withColumn("_r", r)
+              .select(*keep, F.col("_r.tokens_bin").alias("tokens_bin"),
+                      F.col("_r.coverage").alias("coverage"),
+                      F.col("_r.wm_token").alias("wm_token"),
+                      F.col("_r.pass_count").alias("pass_count")))
+
+
+def make_auto_detect_udf(params: EngineParams = DEFAULT_PARAMS):
+    """P6/P7 automatic detection mode (no known watermark token) —
+    _automatic_detection_mode (watermark_detector.py:481-545). Opt-in
+    operator; the default pipeline short-circuits undetected rows (P10)."""
+    p = params
+
+    @pandas_udf(DETECT_STRUCT)
+    def detect_auto(tokens: pd.Series) -> pd.DataFrame:
+        from .. import reference_kernels as rk
+        masks, wms, covs = [], [], []
+        for arr in tokens.to_numpy():
+            mask = rk.detect_mask_auto(np.asarray(arr), p.kernel_size,
+                                       p.protect_text, p.text_expand)
+            mask = rk.filter_runs(mask, p.min_run, p.max_run)
+            masks.append(mask)
+            wms.append(None)
+            covs.append(rk.coverage(mask))
+        return pd.DataFrame({"mask": masks, "wm_token": wms, "coverage": covs})
+
+    return detect_auto

@@ -955,3 +955,156 @@ def q43(spark, sf_dir):
     from ..sources.multimodal import extract_features, to_media_df
     docs = t(spark, sf_dir, "documents")
     return extract_features(to_media_df(docs))
+
+
+@q("q31_cosine_near_dups", f"""
+WITH pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         {_DOT.format(a='a.embedding', b='b.embedding')}
+         / sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
+         / sqrt({_DOT.format(a='b.embedding', b='b.embedding')}) AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT a_id, b_id, ROUND(cos, 6) AS cos_sim
+FROM pairs WHERE cos >= 0.999
+""")
+def q31(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (dedup op #4): label-bucketed
+    self-join bounds the candidate set; sequential-fold cosine is bit-exact
+    vs the oracle."""
+    e = t(spark, sf_dir, "embeddings")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, r: p.cast("double") * r.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = (dot(F.col("a.embedding"), F.col("b.embedding"))
+           / F.sqrt(dot(F.col("a.embedding"), F.col("a.embedding")))
+           / F.sqrt(dot(F.col("b.embedding"), F.col("b.embedding"))))
+    return (a.join(b, (F.col("a.label") == F.col("b.label"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("a_id"),
+                    F.col("b.vec_id").alias("b_id"), cos.alias("cos"))
+            .where(F.col("cos") >= 0.999)
+            .select("a_id", "b_id", F.round("cos", 6).alias("cos_sim")))
+
+
+@q("q32_key_fingerprints", """
+SELECT o_orderpriority,
+       lpad(hex(MAX(o_orderkey * 2654435761 % 4294967296)), 8, '0') AS max_fp,
+       COUNT(DISTINCT o_custkey) AS distinct_customers
+FROM orders GROUP BY o_orderpriority
+""")
+def q32(spark, sf_dir):
+    """F7 (hex/format) + Knuth multiplicative fingerprint (rolling-hash
+    document fingerprinting flavor, stats.py:280 format analogue)."""
+    o = t(spark, sf_dir, "orders")
+    fp = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296)
+    return (o.groupBy("o_orderpriority")
+            .agg(F.lpad(F.hex(F.max(fp)), 8, "0").alias("max_fp"),
+                 F.countDistinct("o_custkey").alias("distinct_customers")))
+
+
+@q("q33_sliding_windows", """
+WITH offs AS (SELECT o FROM range(2) t(o)),
+assigned AS (
+  SELECT date_trunc('hour', ts - o * INTERVAL 30 MINUTE)
+           + o * INTERVAL 30 MINUTE AS window_start,
+         event_type, value
+  FROM events CROSS JOIN offs)
+SELECT window_start, event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM assigned GROUP BY 1, 2
+""")
+def q33(spark, sf_dir):
+    """X2-as-batch: sliding windows (1h size, 30m slide) — each event lands
+    in size/slide = 2 windows; expressed via explicit offset explosion so the
+    DuckDB oracle matches Spark's window() assignment."""
+    e = t(spark, sf_dir, "events")
+    offs = spark.range(2).select(F.col("id").cast("int").alias("o"))
+    ts_shift = F.col("ts") - F.col("o") * F.expr("INTERVAL 30 MINUTE")
+    win = (F.date_trunc("hour", ts_shift)
+           + F.col("o") * F.expr("INTERVAL 30 MINUTE"))
+    return (e.crossJoin(F.broadcast(offs))
+            .select(win.alias("window_start"), "event_type", "value")
+            .groupBy("window_start", "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+@q("q34_page_range_selection", """
+WITH parts AS (
+  SELECT UNNEST(string_split('1,3,5-7,3', ',')) AS part),
+pages AS (
+  SELECT DISTINCT UNNEST(CASE WHEN contains(part, '-')
+    THEN generate_series(CAST(string_split(part, '-')[1] AS INT),
+                         CAST(string_split(part, '-')[2] AS INT))
+    ELSE [CAST(part AS INT)] END) AS page
+  FROM parts)
+SELECT l.l_linenumber AS page, COUNT(*) AS n_items,
+       ROUND(SUM(l.l_quantity), 4) AS qty
+FROM lineitem l JOIN pages p ON l.l_linenumber = p.page
+GROUP BY l.l_linenumber
+""")
+def q34(spark, sf_dir):
+    """S4/T3/U2: page-range spec parsing ('1,3,5-7,3' -> sorted distinct
+    pages; parse_pages, cli.py:151-171) joined as a selection predicate."""
+    li = t(spark, sf_dir, "lineitem")
+    parts = spark.createDataFrame([("1,3,5-7,3",)], "spec string") \
+        .select(F.explode(F.split("spec", ",")).alias("part"))
+    pages = (parts.select(
+        F.explode(F.when(F.col("part").contains("-"),
+                         F.sequence(F.split("part", "-")[0].cast("int"),
+                                    F.split("part", "-")[1].cast("int")))
+                  .otherwise(F.array(F.col("part").cast("int"))))
+        .alias("page")).distinct())
+    return (li.join(F.broadcast(pages), li.l_linenumber == pages.page)
+            .groupBy(F.col("l_linenumber").alias("page"))
+            .agg(F.count("*").alias("n_items"),
+                 F.round(F.sum("l_quantity"), 4).alias("qty")))
+
+
+@q("q35_adaptive_threshold", f"""
+WITH pos AS (
+  SELECT vec_id, i AS p, {_Q_SQL.format(v='embedding[i + 1]')} AS tok
+  FROM embeddings CROSS JOIN range(64) t(i)),
+loc AS (
+  SELECT vec_id, p, tok,
+         AVG(CAST(tok AS DOUBLE)) OVER (PARTITION BY vec_id ORDER BY p
+             ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS local_mean
+  FROM pos)
+SELECT vec_id,
+       SUM(CASE WHEN tok > local_mean - 2 THEN 1 ELSE 0 END) AS above_local
+FROM loc GROUP BY vec_id
+""")
+def q35(spark, sf_dir):
+    """P6 relational flavor: adaptive threshold = sliding local mean
+    (block 11, C=2; cv2.adaptiveThreshold, watermark_detector.py:497-499)
+    as a SQL window frame — the same shrinking-window definition as
+    reference_kernels.local_mean_1d."""
+    e = t(spark, sf_dir, "embeddings")
+    pos = e.select("vec_id", F.posexplode("embedding").alias("p", "v")) \
+        .select("vec_id", "p", _quantize(F.col("v")).alias("tok"))
+    w = Window.partitionBy("vec_id").orderBy("p").rowsBetween(-5, 5)
+    loc = pos.withColumn("local_mean",
+                         F.avg(F.col("tok").cast("double")).over(w))
+    return (loc.groupBy("vec_id")
+            .agg(F.sum(F.when(F.col("tok") > F.col("local_mean") - 2, 1)
+                       .otherwise(0)).alias("above_local")))
+
+
+@q("q36_auto_detect_masks")
+def q36(spark, sf_dir):
+    """P6/P7 kernel flavor (rows-only): automatic detection mode over
+    char-token arrays; exact parity vs reference_kernels in tests."""
+    from ..functions import mask_exprs as mxx
+    from ..operators.repair import make_auto_detect_udf
+    from ..params import DEFAULT_PARAMS
+    df = _char_tokens(spark, sf_dir)
+    d = make_auto_detect_udf(DEFAULT_PARAMS.with_(min_run=5))(F.col("tokens"))
+    return (df.withColumn("_d", d)
+            .select("doc_id", "source",
+                    F.round(F.col("_d.coverage"), 6).alias("coverage"),
+                    mxx.mask_count(F.col("_d.mask")).alias("masked_positions")))

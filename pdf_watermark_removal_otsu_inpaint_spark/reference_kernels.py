@@ -37,14 +37,19 @@ BLEND_FULL_STRENGTH = 1.5     # watermark_remover.py:168 (>=1.5 -> no blending)
 def bucket256(tokens: np.ndarray) -> np.ndarray:
     """Token value -> 0..255 class, the grayscale analogue.
 
-    Matches Spark ``pmod(t, 256)`` (non-negative remainder)."""
-    return np.mod(np.asarray(tokens, dtype=np.int64), 256)
+    Matches Spark ``pmod(t, 256)`` (non-negative remainder). Stays in int32
+    (memory-bandwidth matters: the VM-measured ceiling is the kernel's
+    limiting resource at 32 workers, so no int64 temporaries)."""
+    a = np.asarray(tokens)
+    if a.dtype not in (np.int32, np.int64):
+        a = a.astype(np.int32)
+    return np.mod(a, 256).astype(np.int32, copy=False)
 
 
 # --- histogram + dominant-token detection (A1-A3) ---------------------------
 def histogram256(g: np.ndarray) -> np.ndarray:
     """256-bin value histogram — cv2.calcHist analogue (watermark_detector.py:162-165)."""
-    return np.bincount(np.asarray(g, dtype=np.int64), minlength=256)
+    return np.bincount(np.asarray(g), minlength=256)
 
 
 def detect_wm_token(tokens: np.ndarray) -> int | None:
@@ -72,7 +77,70 @@ def detect_wm_token(tokens: np.ndarray) -> int | None:
 # Window of width k anchored with left reach (k-1)//2 and right reach k//2.
 # Dilation pads False outside, erosion pads True (cv2 border convention:
 # dilate border = -inf, erode border = +inf).
+#
+# Implemented as run-boundary arithmetic (O(#runs), not O(n*k)): a dilated
+# run [s,e) becomes [s-right, e+left) (window reach mirrored), an eroded run
+# becomes [s+left, e-right) except at array borders where the True padding
+# keeps the edge. Bit-identical to the sliding-window definition — the
+# brute-force reference below is kept for the property tests.
+def _spans_of(m: np.ndarray) -> np.ndarray:
+    """(n_runs, 2) array of [start, end) spans of True."""
+    if m.size == 0:
+        return np.empty((0, 2), dtype=np.int64)
+    d = np.diff(m.astype(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if m[0]:
+        starts = np.concatenate(([0], starts))
+    if m[-1]:
+        ends = np.concatenate((ends, [m.size]))
+    return np.stack([starts, ends], axis=1)
+
+
+def _mask_of(spans: np.ndarray, n: int) -> np.ndarray:
+    out = np.zeros(n, dtype=bool)
+    for s, e in spans:
+        out[s:e] = True
+    return out
+
+
 def dilate(mask: np.ndarray, k: int, iterations: int = 1) -> np.ndarray:
+    m = np.asarray(mask, dtype=bool)
+    if k <= 1 or m.size == 0 or iterations <= 0:
+        return m.copy()
+    left, right = (k - 1) // 2, k // 2
+    n = m.size
+    spans = _spans_of(m)
+    if spans.size == 0:
+        return m.copy()
+    # iterations compose linearly for flat windows: total expansion i*(reach)
+    lo = np.maximum(spans[:, 0] - right * iterations, 0)
+    hi = np.minimum(spans[:, 1] + left * iterations, n)
+    # merge overlapping/adjacent spans
+    out = np.zeros(n, dtype=bool)
+    for s, e in zip(lo, hi):
+        out[s:e] = True
+    return out
+
+
+def erode(mask: np.ndarray, k: int, iterations: int = 1) -> np.ndarray:
+    m = np.asarray(mask, dtype=bool)
+    if k <= 1 or m.size == 0 or iterations <= 0:
+        return m.copy()
+    left, right = (k - 1) // 2, k // 2
+    n = m.size
+    spans = _spans_of(m)
+    if spans.size == 0:
+        return m.copy()
+    # True padding outside the array: a run touching a border keeps that edge
+    lo = np.where(spans[:, 0] == 0, 0, spans[:, 0] + left * iterations)
+    hi = np.where(spans[:, 1] == n, n, spans[:, 1] - right * iterations)
+    keep = lo < hi
+    return _mask_of(np.stack([lo[keep], hi[keep]], axis=1), n)
+
+
+def _dilate_bruteforce(mask: np.ndarray, k: int, iterations: int = 1) -> np.ndarray:
+    """Sliding-window definition — the spec; used by property tests."""
     m = np.asarray(mask, dtype=bool)
     if k <= 1 or m.size == 0 or iterations <= 0:
         return m.copy()
@@ -84,7 +152,7 @@ def dilate(mask: np.ndarray, k: int, iterations: int = 1) -> np.ndarray:
     return m
 
 
-def erode(mask: np.ndarray, k: int, iterations: int = 1) -> np.ndarray:
+def _erode_bruteforce(mask: np.ndarray, k: int, iterations: int = 1) -> np.ndarray:
     m = np.asarray(mask, dtype=bool)
     if k <= 1 or m.size == 0 or iterations <= 0:
         return m.copy()
@@ -127,7 +195,9 @@ def text_protect_mask(g: np.ndarray, expand: int = 3) -> np.ndarray:
 #     _unified_protection_and_refinement, watermark_detector.py:421-479,592-696)
 def raw_color_mask(g: np.ndarray, wm_token: int, tolerance: int) -> np.ndarray:
     """|g - wm| < tolerance (watermark_detector.py:439-441)."""
-    return np.abs(np.asarray(g, dtype=np.int64) - int(wm_token)) < tolerance
+    g = np.asarray(g)
+    return np.abs(g - np.int32(wm_token) if g.dtype == np.int32
+                  else g - int(wm_token)) < tolerance
 
 
 def detect_mask(tokens: np.ndarray, wm_token: int, tolerance: int = 30,
@@ -203,7 +273,7 @@ def inpaint_1d(tokens: np.ndarray, mask: np.ndarray, radius: int) -> np.ndarray:
 
     Integer-only, vectorized per run.
     """
-    t = np.asarray(tokens, dtype=np.int64).copy()
+    t = np.asarray(tokens).copy()
     m = np.asarray(mask, dtype=bool)
     n = t.size
     for s, e in run_spans(m):
@@ -216,7 +286,7 @@ def inpaint_1d(tokens: np.ndarray, mask: np.ndarray, radius: int) -> np.ndarray:
         if not has_r:
             t[s:e] = t[s - 1]
             continue
-        L, R = t[s - 1], t[e]
+        L, R = int(t[s - 1]), int(t[e])  # python ints: overflow-safe products
         p = np.arange(s, e, dtype=np.int64)
         dl = p - (s - 1)
         dr = e - p
@@ -235,11 +305,17 @@ def blend(orig: np.ndarray, filled: np.ndarray, mask: np.ndarray,
     (watermark_remover.py:90-99), truncated toward zero by the uint8 cast.
     strength >= 1.5 skips blending (watermark_remover.py:166-172)."""
     if strength >= BLEND_FULL_STRENGTH:
-        return np.asarray(filled, dtype=np.int64).copy()
+        return np.asarray(filled).copy()
+    if strength == 1.0:
+        # bit-identical fast path: with m in {0,1} and float32-exact int
+        # values <= 2^24, orig*(1-m)+filled*m == where(m, filled, orig)
+        return np.where(np.asarray(mask, dtype=bool),
+                        np.asarray(filled), np.asarray(orig))
     bf = np.asarray(mask, dtype=np.float32) * np.float32(strength)
     res = (np.asarray(orig, dtype=np.float32) * (np.float32(1.0) - bf)
            + np.asarray(filled, dtype=np.float32) * bf)
-    return res.astype(np.int64)  # trunc toward zero, matches astype(uint8) in range
+    # trunc toward zero, matches the reference astype(uint8) in range
+    return res.astype(np.asarray(orig).dtype)
 
 
 # --- full per-row pipelines (remove_watermark / multi-pass) ------------------
@@ -265,7 +341,7 @@ def remove_watermark(tokens: np.ndarray, wm_token: int | None = None,
     """Single-pass removal (watermark_remover.py:174-232).
 
     Returns (repaired_tokens, coverage, wm_token|None)."""
-    t = np.asarray(tokens, dtype=np.int64)
+    t = np.asarray(tokens)
     mask, wm = detect_refine(t, wm_token, tolerance, kernel_size,
                              protect_text, text_expand, min_run, max_run)
     if not mask.any():  # empty-mask short-circuit (watermark_remover.py:196-204)
@@ -291,7 +367,7 @@ def remove_watermark_multi_pass(tokens: np.ndarray, passes: int = 2,
 
     Returns (repaired_tokens, pass_count, first_pass_coverage, wm_token|None).
     """
-    result = np.asarray(tokens, dtype=np.int64).copy()
+    result = np.asarray(tokens).copy()
     first_cov = 0.0
     done_passes = 0
     wm = wm_token
@@ -391,3 +467,61 @@ def decide_type(metrics: dict) -> tuple[str, float]:
     if s > 70 and e < 30:
         return "scanned", s
     return "mixed", max(e, s) / 2.0
+
+
+# --- automatic detection mode (P6/P7/P8, _automatic_detection_mode,
+#     watermark_detector.py:481-545) ------------------------------------------
+ADAPTIVE_BLOCK = 11   # watermark_detector.py:498 (blockSize)
+ADAPTIVE_C = 2        # watermark_detector.py:498 (C)
+SAT_MIN_THRESHOLD = 30  # watermark_detector.py:504 (max(30, 0.6*mean))
+SAT_MEAN_FACTOR = 0.6
+
+
+def local_mean_1d(g: np.ndarray, block: int = ADAPTIVE_BLOCK) -> np.ndarray:
+    """Sliding local mean with a width-`block` window, SHRINKING at the
+    array edges (mean over the in-bounds part of the window). This is the
+    engine's 1-D re-expression of the Gaussian-weighted local mean in
+    cv2.adaptiveThreshold (flat window + shrinking border — chosen so the
+    identical definition is expressible as a SQL window frame
+    `ROWS BETWEEN k PRECEDING AND k FOLLOWING`, giving a DuckDB oracle)."""
+    left, right = (block - 1) // 2, block // 2
+    n = g.size
+    c = np.concatenate(([0.0], np.cumsum(np.asarray(g, dtype=np.float64))))
+    idx = np.arange(n)
+    lo = np.maximum(idx - left, 0)
+    hi = np.minimum(idx + right + 1, n)
+    return (c[hi] - c[lo]) / (hi - lo)
+
+
+def adaptive_threshold_mask(g: np.ndarray, block: int = ADAPTIVE_BLOCK,
+                            c: int = ADAPTIVE_C) -> np.ndarray:
+    """P6: THRESH_BINARY against (local_mean - C): mask = g > mean - C
+    (watermark_detector.py:497-499)."""
+    return np.asarray(g, dtype=np.float64) > (local_mean_1d(g, block) - c)
+
+
+def saturation_mask_1d(g: np.ndarray) -> np.ndarray:
+    """P7: 1-D analogue of the HSV low-saturation detector —
+    t < max(30, 0.6 * row_mean) (watermark_detector.py:501-505)."""
+    thr = max(SAT_MIN_THRESHOLD, float(np.mean(g)) * SAT_MEAN_FACTOR)
+    return np.asarray(g, dtype=np.float64) < thr
+
+
+def detect_mask_auto(tokens: np.ndarray, kernel_size: int = 3,
+                     protect_text: bool = True,
+                     text_expand: int = 3) -> np.ndarray:
+    """Automatic detection mode (no known watermark token,
+    watermark_detector.py:481-545): adaptive-threshold OR saturation mask,
+    then background/text protection and open x1 / close x2.
+
+    NOTE: the engine's default pipeline treats rows with no detectable
+    dominant token as clean (P10 short-circuit) — this mode is an explicit
+    opt-in operator, not a silent fallback; documented divergence."""
+    g = bucket256(tokens)
+    m = adaptive_threshold_mask(g) | saturation_mask_1d(g)
+    m &= ~background_mask(g)
+    if protect_text:
+        m &= ~text_protect_mask(g, text_expand)
+    m = morph_open(m, kernel_size, 1)
+    m = morph_close(m, kernel_size, 2)
+    return m

@@ -36,13 +36,18 @@ def get_spark(app_name: str = "pdf-wm-token-engine", cpus: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Arrow for pandas UDFs; bounded batches so wide token rows
-        # (up to 4096 int32 each) don't blow the Python worker
+        # Arrow for pandas UDFs; batches sized so per-batch buffers stay
+        # cache-resident — measured on this box, 2048-row batches of wide
+        # token rows anti-scale at 32 workers (large-alloc churn against the
+        # VM's memory-bandwidth ceiling), 1024 is the knee (BENCH.md)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # CPU-dense token rows need fine input splits: 128m splits cap
+        # concurrent kernel tasks well below the core count (BENCH.md)
+        .config("spark.sql.files.maxPartitionBytes", "32m")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -26,7 +26,8 @@ def synth_sequences(spark: SparkSession, n_rows: int, n_tok: int = 2048,
     t1a, t1b = int(0.11 * n_tok), int(0.1175 * n_tok)
     t2a, t2b = int(0.19 * n_tok), int(0.1975 * n_tok)
     tokens = F.transform(F.sequence(F.lit(0), F.lit(n_tok - 1)),
-                         lambda i: tok_expr(i, lo, hi, t1a, t1b, t2a, t2b))
+                         lambda i: tok_expr(i, lo, hi, t1a, t1b, t2a, t2b,
+                                            row_id=F.col("id")))
     df = (spark.range(0, n_rows, 1, partitions)
           .withColumn("doc_id", F.format_string("doc%06d",
                                                 (F.col("id") % n_docs).cast("int")))
@@ -44,8 +45,15 @@ def synth_sequences(spark: SparkSession, n_rows: int, n_tok: int = 2048,
     return df.select("doc_id", "tokens", "n_tok", "source", "event_ts", "seq_no")
 
 
-def tok_expr(i, lo, hi, t1a, t1b, t2a, t2b):
+def tok_expr(i, lo, hi, t1a, t1b, t2a, t2b, row_id=None):
+    """Background is 251..255 pseudo-noise (deterministic murmur3 of the
+    position, salted by row id when given) rather than constant 255: real
+    token data has entropy, and a constant background lets parquet RLE
+    compress the table ~100x, which distorts split sizing and scan cost in
+    benchmarks. Values 251-255 stay above the background-protection
+    threshold (>250) and outside the detector's value window."""
+    noise = F.pmod(F.hash(i if row_id is None else i + row_id * 4099), F.lit(5))
     return (F.when((i >= t1a) & (i < t1b), 0)
             .when((i >= t2a) & (i < t2b), 0)
             .when((i >= lo) & (i < hi), 200)
-            .otherwise(255))
+            .otherwise(F.lit(251) + noise))

@@ -131,3 +131,23 @@ def test_repair_plan_shape(spark, seq_df):
     plan = repair_sequences(seq_df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
     assert "Exchange" not in plan
+
+
+def test_packed_path_matches_list_path(spark, seq_df):
+    """The packed-binary physical layout produces identical results to the
+    input_hint array<int32> layout."""
+    from pdf_watermark_removal_otsu_inpaint_spark.operators.repair import (
+        make_pack_udf, repair_sequences_packed)
+    params = DEFAULT_PARAMS.with_(passes=2)
+    lst = {(r.doc_id, r.seq_no): (r.tokens, r.coverage, r.wm_token, r.pass_count)
+           for r in repair_sequences(seq_df, params).collect()}
+    packed_in = seq_df.withColumn("tokens_bin",
+                                  make_pack_udf()(F.col("tokens"))) \
+                      .drop("tokens")
+    got = repair_sequences_packed(packed_in, params).collect()
+    assert len(got) == len(lst)
+    for r in got:
+        exp_t, exp_c, exp_w, exp_p = lst[(r.doc_id, r.seq_no)]
+        assert np.frombuffer(r.tokens_bin, dtype="<i4").tolist() == exp_t
+        assert r.coverage == exp_c and r.wm_token == exp_w
+        assert r.pass_count == exp_p

@@ -223,5 +223,60 @@ def test_all_scenarios_run_end_to_end(scen):
     t = scenario_tokens(scen, n)
     out, n_passes, cov, wm = rk.remove_watermark_multi_pass(t, passes=2)
     assert out.shape == t.shape
-    assert out.dtype == np.int64
+    assert out.dtype == t.dtype
     assert 0.0 <= cov <= 1.0
+
+
+# --- run-arithmetic morphology == sliding-window spec (property tests) ------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.booleans(), min_size=0, max_size=64),
+       st.integers(min_value=1, max_value=9),
+       st.integers(min_value=1, max_value=3))
+def test_dilate_matches_bruteforce(bits, k, iters):
+    m = np.array(bits, dtype=bool)
+    assert (rk.dilate(m, k, iters) == rk._dilate_bruteforce(m, k, iters)).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.booleans(), min_size=0, max_size=64),
+       st.integers(min_value=1, max_value=9),
+       st.integers(min_value=1, max_value=3))
+def test_erode_matches_bruteforce(bits, k, iters):
+    m = np.array(bits, dtype=bool)
+    assert (rk.erode(m, k, iters) == rk._erode_bruteforce(m, k, iters)).all()
+
+
+def test_local_mean_shrinking_window():
+    g = np.array([0, 10, 20, 30, 40], dtype=np.int32)
+    m = rk.local_mean_1d(g, block=3)
+    # edges shrink: mean([0,10]) = 5, mean([30,40]) = 35
+    assert m.tolist() == [5.0, 10.0, 20.0, 30.0, 35.0]
+
+
+def test_adaptive_threshold_mask():
+    g = np.full(50, 200, dtype=np.int32)
+    g[25] = 100  # local dip stays below local mean - 2
+    m = rk.adaptive_threshold_mask(g)
+    assert not m[25] and m[0] and m[49]
+
+
+def test_saturation_mask_dynamic_threshold():
+    g = np.full(100, 200, dtype=np.int32)
+    g[:10] = 50  # below 0.6*mean (~111) -> masked
+    m = rk.saturation_mask_1d(g)
+    assert m[:10].all() and not m[10:].any()
+    low = np.full(100, 10, dtype=np.int32)
+    # mean*0.6 = 6 < 30 -> floor at 30 applies
+    assert rk.saturation_mask_1d(low).all()
+
+
+def test_detect_mask_auto_runs_and_respects_protection():
+    t = scenario_tokens("wm_protect", 2000)
+    m = rk.detect_mask_auto(t)
+    assert m.dtype == bool and m.size == t.size
+    # dark text is protected out even in auto mode
+    assert not m[220:235].any()

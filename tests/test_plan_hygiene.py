@@ -1,0 +1,80 @@
+"""Plan-shape hygiene: the declarative paths must produce the physical plans
+a 100 TB deployment needs — filter pushdown into the parquet scan, column
+pruning, broadcast joins for small dims, and partial aggregation before the
+shuffle. These lock in the Catalyst behavior SURVEY §4.2 relies on.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_watermark_removal_otsu_inpaint_spark.plans.queries import QUERIES
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_point_lookup_pushes_filters(spark):
+    """S2: point lookup predicates reach the scan (PushedFilters)."""
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    df = o.where((F.col("o_orderkey") == 42) & (F.col("o_custkey") > 10))
+    p = plan_of(df)
+    assert "PushedFilters: [" in p
+    assert "IsNotNull(o_orderkey)" in p or "EqualTo(o_orderkey,42)" in p
+
+
+def test_q01_scan_prunes_columns(spark):
+    """Column pruning: the q01 scan reads only the 8 needed lineitem columns."""
+    p = plan_of(QUERIES["q01_pricing_summary"](spark, SF_DIR))
+    # ReadSchema should not mention unused columns
+    read = p[p.index("ReadSchema"):].splitlines()[0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read and "l_returnflag" in read
+    # shipdate predicate is pushed
+    assert "PushedFilters: [" in p and "l_shipdate" in p[p.index("PushedFilters"):]
+
+
+def test_q04_uses_broadcast_joins(spark):
+    """J2: tiny dims join via BroadcastHashJoin, no shuffle join."""
+    p = plan_of(QUERIES["q04_region_customer_rollup"](spark, SF_DIR))
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+
+
+def test_histogram_has_partial_aggregation(spark):
+    """A1: explode path partial-aggregates before the shuffle, so shuffle
+    volume is O(groups x 256) regardless of n_tok."""
+    from pdf_watermark_removal_otsu_inpaint_spark.operators.histogram import (
+        token_histogram)
+    from pdf_watermark_removal_otsu_inpaint_spark.sources.sequences import (
+        sequences_df)
+    df = sequences_df(spark, 20, seed=2)
+    p = plan_of(token_histogram(df, ["source"]))
+    # two HashAggregates (partial + final) around a single exchange
+    assert p.count("HashAggregate") >= 2
+    first_agg = p.index("HashAggregate")
+    assert "Exchange" in p
+    # partial agg appears below (after, in printed tree) the exchange
+    assert p.index("Exchange") < p.rindex("HashAggregate")
+
+
+def test_repair_pipeline_is_shuffle_free(spark):
+    """The fused kernel path over a parquet scan adds no Exchange."""
+    from pdf_watermark_removal_otsu_inpaint_spark.operators.repair import (
+        repair_sequences)
+    from pdf_watermark_removal_otsu_inpaint_spark.sources.sequences import (
+        sequences_df)
+    p = plan_of(repair_sequences(sequences_df(spark, 10)))
+    assert "Exchange" not in p
+    assert p.count("ArrowEvalPython") == 1
+
+
+def test_semi_and_anti_join_plans(spark):
+    p5 = plan_of(QUERIES["q05_customers_with_orders"](spark, SF_DIR))
+    p6 = plan_of(QUERIES["q06_customers_without_orders"](spark, SF_DIR))
+    assert "LeftSemi" in p5
+    assert "LeftAnti" in p6

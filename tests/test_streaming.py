@@ -273,3 +273,20 @@ def test_salted_stats_match_unsalted(spark):
     # the heavy hitter actually is heavy (skew fixture)
     total = sum(v[0] for v in plain.values())
     assert plain["web"][0] / total >= 0.55
+
+
+def test_sliding_window_stream_matches_batch(spark, tmp_path):
+    """X2: sliding-window histogram (2 min window, 30 s slide)."""
+    d = str(tmp_path / "seq")
+    df = sequences_df(spark, 30, seed=11)
+    write_batches(spark, [df], d)
+    q = (windowed_hist_stream(file_stream(spark, d), "2 minutes", "30 seconds")
+         .writeStream.outputMode("complete")
+         .format("memory").queryName("slide").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.window.start, r.source, r.tok): r.cnt
+           for r in spark.sql("SELECT * FROM slide").collect()}
+    exp = {(r.window.start, r.source, r.tok): r.cnt
+           for r in oh.windowed_histogram(df, "2 minutes", "30 seconds").collect()}
+    assert got == exp and len(exp) > 0
