@@ -242,3 +242,59 @@ def make_auto_detect_udf(params: EngineParams = DEFAULT_PARAMS):
         return pd.DataFrame({"mask": masks, "wm_token": wms, "coverage": covs})
 
     return detect_auto
+
+
+# ---------------------------------------------------------------------------
+# Profile-tuned repair (J2 end-to-end): classify each source once, broadcast
+# the tiny params dim onto the stream, and run the kernel with PER-ROW
+# parameters — the reference classifies page 1 and applies the tuned
+# parameters to the whole document (cli.py:742-841).
+# ---------------------------------------------------------------------------
+def make_repair_profiled_udf(base: EngineParams = DEFAULT_PARAMS):
+    b = base
+
+    @pandas_udf(REPAIR_STRUCT)
+    def repair_profiled(tokens: pd.Series, tol: pd.Series, kern: pd.Series,
+                        strength: pd.Series, passes: pd.Series) -> pd.DataFrame:
+        from .. import reference_kernels as rk
+        out_t, out_c, out_w, out_p = [], [], [], []
+        for arr, tl, k, st, ps in zip(tokens.to_numpy(), tol.to_numpy(),
+                                      kern.to_numpy(), strength.to_numpy(),
+                                      passes.to_numpy()):
+            a = np.asarray(arr)
+            res, n_passes, cov, wfound = rk.remove_watermark_multi_pass(
+                a, int(ps), None, int(tl), int(k), b.protect_text,
+                b.text_expand, b.min_run, b.max_run, b.inpaint_radius,
+                float(st))
+            out_t.append(res.astype(np.int32, copy=False))
+            out_c.append(cov)
+            out_w.append(wfound)
+            out_p.append(n_passes)
+        return pd.DataFrame({"tokens": out_t, "coverage": out_c,
+                             "wm_token": out_w, "pass_count": out_p})
+
+    return repair_profiled
+
+
+def repair_with_profiles(df: DataFrame,
+                         base: EngineParams = DEFAULT_PARAMS) -> DataFrame:
+    """Classify each source from its first row (A10-A14), broadcast-join the
+    tuned parameter dim (J2), repair with per-row parameters."""
+    from .classify import classify_sources
+    prof = classify_sources(df).select(
+        "source", "doc_type", "color_tolerance", "kernel_size",
+        "inpaint_strength", "passes")
+    joined = df.join(F.broadcast(prof), "source", "left")
+    r = make_repair_profiled_udf(base)(
+        F.col("tokens"),
+        F.coalesce(F.col("color_tolerance"), F.lit(base.color_tolerance)),
+        F.coalesce(F.col("kernel_size"), F.lit(base.kernel_size)),
+        F.coalesce(F.col("inpaint_strength"), F.lit(base.inpaint_strength)),
+        F.coalesce(F.col("passes"), F.lit(base.passes)))
+    keep = [c for c in ("doc_id", "seq_no", "event_ts", "source", "n_tok",
+                        "doc_type") if c in joined.columns]
+    return (joined.withColumn("_r", r)
+            .select(*keep, F.col("_r.tokens").alias("tokens"),
+                    F.col("_r.coverage").alias("coverage"),
+                    F.col("_r.wm_token").alias("wm_token"),
+                    F.col("_r.pass_count").alias("pass_count")))

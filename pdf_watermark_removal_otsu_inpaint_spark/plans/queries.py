@@ -1108,3 +1108,15 @@ def q36(spark, sf_dir):
             .select("doc_id", "source",
                     F.round(F.col("_d.coverage"), 6).alias("coverage"),
                     mxx.mask_count(F.col("_d.mask")).alias("masked_positions")))
+
+
+@q("q37_profiled_repair")
+def q37(spark, sf_dir):
+    """J2 + A10-A14 end-to-end (rows-only): per-source classified parameters
+    broadcast onto the rows, kernel runs with per-row params."""
+    from ..operators.repair import repair_with_profiles
+    from ..params import DEFAULT_PARAMS
+    df = _char_tokens(spark, sf_dir).withColumn("seq_no", F.lit(0).cast("long"))
+    out = repair_with_profiles(df, DEFAULT_PARAMS.with_(min_run=5))
+    return out.select("doc_id", "source", "doc_type",
+                      F.round("coverage", 6).alias("coverage"), "pass_count")

@@ -1,0 +1,43 @@
+"""Table I/O adapters: Iceberg when available, parquet otherwise.
+
+The production deployment (north_rule) reads/writes Iceberg tables of
+pre-tokenized sequences. The Iceberg runtime jar is not in this image, so
+the adapter probes for the catalog and degrades to plain parquet paths with
+the same schema — call sites never branch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        return True
+    except Exception:
+        return False
+
+
+def read_sequences(spark: SparkSession, location: str) -> DataFrame:
+    """location: 'catalog.db.table' (Iceberg) or a parquet path."""
+    if "/" not in location and iceberg_available(spark):
+        return spark.read.format("iceberg").load(location)
+    return spark.read.parquet(location)
+
+
+def read_sequences_stream(spark: SparkSession, location: str,
+                          max_files_per_trigger: int = 8) -> DataFrame:
+    from ..streaming.pipeline import SEQ_SCHEMA
+    if "/" not in location and iceberg_available(spark):
+        return (spark.readStream.format("iceberg").load(location))
+    return (spark.readStream.schema(SEQ_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(location))
+
+
+def write_sequences(df: DataFrame, location: str, mode: str = "append") -> None:
+    if "/" not in location and iceberg_available(df.sparkSession):
+        df.write.format("iceberg").mode(mode).save(location)
+    else:
+        df.write.mode(mode).parquet(location)

@@ -151,3 +151,26 @@ def test_packed_path_matches_list_path(spark, seq_df):
         assert np.frombuffer(r.tokens_bin, dtype="<i4").tolist() == exp_t
         assert r.coverage == exp_c and r.wm_token == exp_w
         assert r.pass_count == exp_p
+
+
+def test_repair_with_profiles_matches_kernel(spark, seq_df, seq_rows):
+    """J2 end-to-end: per-source classified params drive the kernel; engine
+    output == kernel run with the same per-source parameters."""
+    from pdf_watermark_removal_otsu_inpaint_spark.operators.classify import (
+        classify_sources)
+    from pdf_watermark_removal_otsu_inpaint_spark.operators.repair import (
+        repair_with_profiles)
+    prof = {r.source: r for r in classify_sources(seq_df).collect()}
+    out = {(r.doc_id, r.seq_no): r
+           for r in repair_with_profiles(seq_df).collect()}
+    assert len(out) == len(seq_rows)
+    for row in seq_rows:
+        p = prof[row["source"]]
+        exp_t, exp_p, _, _ = rk.remove_watermark_multi_pass(
+            np.array(row["tokens"]), passes=int(p.passes),
+            tolerance=int(p.color_tolerance), kernel_size=int(p.kernel_size),
+            inpaint_strength=float(p.inpaint_strength))
+        g = out[(row["doc_id"], row["seq_no"])]
+        assert g.tokens == exp_t.astype(np.int32).tolist()
+        assert g.pass_count == exp_p
+        assert g.doc_type == p.doc_type
