@@ -67,3 +67,60 @@ def assemble_hist_vector(hist: DataFrame, group_cols: list[str]) -> DataFrame:
                  F.collect_list(F.struct("tok", "cnt"))).alias("m")))
     dense = F.expr("transform(sequence(0, 255), i -> coalesce(m[i], 0L))")
     return pairs.select(*group_cols, dense.alias("counts"))
+
+
+def make_threshold_repair_udf(params=None):
+    """Repair driven by a per-row (window/source-level) Otsu threshold:
+    mask = detect_mask_threshold + run filter, then inpaint + blend."""
+    from ..params import DEFAULT_PARAMS
+    p = params or DEFAULT_PARAMS
+
+    @pandas_udf("struct<tokens:array<int>,coverage:double>")
+    def repair_thr(tokens: pd.Series, thr: pd.Series) -> pd.DataFrame:
+        from .. import reference_kernels as rk
+        out_t, out_c = [], []
+        for arr, th in zip(tokens.to_numpy(), thr.to_numpy()):
+            a = np.asarray(arr)
+            mask = rk.detect_mask_threshold(a, int(th), p.kernel_size,
+                                            p.protect_text, p.text_expand)
+            mask = rk.filter_runs(mask, p.min_run, p.max_run)
+            if not mask.any():
+                out_t.append(np.asarray(a, dtype=np.int32))
+                out_c.append(0.0)
+                continue
+            cov = rk.coverage(mask)
+            radius = rk.dynamic_radius(cov, p.inpaint_radius,
+                                       p.inpaint_strength)
+            filled = rk.inpaint_1d(a, mask, radius)
+            out_t.append(rk.blend(a, filled, mask, p.inpaint_strength)
+                         .astype(np.int32, copy=False))
+            out_c.append(cov)
+        return pd.DataFrame({"tokens": out_t, "coverage": out_c})
+
+    return repair_thr
+
+
+def otsu_repair(df: DataFrame, group_cols: list[str] | None = None,
+                params=None) -> DataFrame:
+    """The north_star composition as one batch operator (reused per
+    micro-batch inside foreachBatch): group histogram (A1) -> Otsu threshold
+    (window SQL) -> broadcast thresholds back -> threshold-mask repair (K2).
+
+    Runs identically over a static table or inside a streaming micro-batch;
+    the per-batch grouping mirrors the reference's per-page thresholding."""
+    from pyspark.sql import functions as F
+
+    from ..operators.histogram import token_histogram
+    group_cols = group_cols or ["source"]
+    thr = otsu_sql(token_histogram(df, group_cols), group_cols)
+    joined = df.join(F.broadcast(thr), group_cols, "left") \
+        .withColumn("otsu_threshold",
+                    F.coalesce(F.col("otsu_threshold"), F.lit(255)))
+    r = make_threshold_repair_udf(params)(F.col("tokens"),
+                                          F.col("otsu_threshold"))
+    keep = [c for c in ("doc_id", "seq_no", "event_ts", "source", "n_tok")
+            if c in df.columns]
+    return (joined.withColumn("_r", r)
+            .select(*keep, "otsu_threshold",
+                    F.col("_r.tokens").alias("tokens"),
+                    F.col("_r.coverage").alias("coverage")))

@@ -775,7 +775,7 @@ bits AS (
               THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
   FROM hashed h CROSS JOIN range(16) j(j)
   GROUP BY h.doc_id, j.j)
-SELECT doc_id, SUM(bit << j) AS simhash16 FROM bits GROUP BY doc_id
+SELECT doc_id, CAST(SUM(bit << j) AS BIGINT) AS simhash16 FROM bits GROUP BY doc_id
 """)
 def q27(spark, sf_dir):
     """SimHash fingerprint (dedup op #3): 16-bit sign-of-weighted-bits over
@@ -807,7 +807,7 @@ dots AS (
            (x, y) -> x + y) AS dot
   FROM embeddings e CROSS JOIN planes p)
 SELECT vec_id,
-       SUM(CASE WHEN dot > 0 THEN 1 << j ELSE 0 END) AS bucket
+       CAST(SUM(CASE WHEN dot > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
 FROM dots GROUP BY vec_id
 """)
 def q28(spark, sf_dir):
@@ -1076,7 +1076,7 @@ loc AS (
              ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS local_mean
   FROM pos)
 SELECT vec_id,
-       SUM(CASE WHEN tok > local_mean - 2 THEN 1 ELSE 0 END) AS above_local
+       CAST(SUM(CASE WHEN tok > local_mean - 2 THEN 1 ELSE 0 END) AS BIGINT) AS above_local
 FROM loc GROUP BY vec_id
 """)
 def q35(spark, sf_dir):
@@ -1120,3 +1120,16 @@ def q37(spark, sf_dir):
     out = repair_with_profiles(df, DEFAULT_PARAMS.with_(min_run=5))
     return out.select("doc_id", "source", "doc_type",
                       F.round("coverage", 6).alias("coverage"), "pass_count")
+
+
+@q("q38_otsu_repair")
+def q38(spark, sf_dir):
+    """north_star composition (rows-only): per-source histogram -> window-SQL
+    Otsu -> threshold-flagged spans -> K2 repair; kernel parity in tests."""
+    from ..operators.otsu import otsu_repair
+    from ..params import DEFAULT_PARAMS
+    df = _char_tokens(spark, sf_dir).withColumn("seq_no", F.lit(0).cast("long"))
+    out = otsu_repair(df, ["source"], DEFAULT_PARAMS.with_(min_run=5))
+    return out.select("doc_id", "source", "otsu_threshold",
+                      F.round("coverage", 6).alias("coverage"),
+                      F.size("tokens").alias("n_out"))

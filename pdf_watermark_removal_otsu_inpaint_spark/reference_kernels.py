@@ -213,6 +213,8 @@ def detect_mask(tokens: np.ndarray, wm_token: int, tolerance: int = 30,
     g = bucket256(tokens)
     m = raw_color_mask(g, wm_token, tolerance)
     m &= ~background_mask(g)
+    if not m.any():  # clean row: protections/morphology of empty == empty
+        return m
     if protect_text and not (TEXTLIKE_LO <= int(wm_token) <= TEXTLIKE_HI):
         m &= ~text_protect_mask(g, text_expand)
     m = morph_open(m, kernel_size, 1)
@@ -520,6 +522,30 @@ def detect_mask_auto(tokens: np.ndarray, kernel_size: int = 3,
     g = bucket256(tokens)
     m = adaptive_threshold_mask(g) | saturation_mask_1d(g)
     m &= ~background_mask(g)
+    if protect_text:
+        m &= ~text_protect_mask(g, text_expand)
+    m = morph_open(m, kernel_size, 1)
+    m = morph_close(m, kernel_size, 2)
+    return m
+
+
+# --- Otsu-threshold detection (north_star composition: per-window histogram
+#     -> Otsu binarization -> contaminated-span mask) -------------------------
+def detect_mask_threshold(tokens: np.ndarray, threshold: int,
+                          kernel_size: int = 3, protect_text: bool = True,
+                          text_expand: int = 3) -> np.ndarray:
+    """Binarize against an externally-supplied (Otsu) threshold: positions
+    with value class ABOVE the threshold are watermark candidates (the
+    watermark sits between text [dark] and background [>250]); then the same
+    protection + refinement chain as detect_mask. The threshold normally
+    comes from otsu_threshold over a per-window histogram (engine spec; the
+    reference's binary-threshold family, watermark_detector.py:497-499,
+    repo-titled 'otsu')."""
+    g = bucket256(tokens)
+    m = np.asarray(g) > int(threshold)
+    m &= ~background_mask(g)
+    if not m.any():
+        return m
     if protect_text:
         m &= ~text_protect_mask(g, text_expand)
     m = morph_open(m, kernel_size, 1)

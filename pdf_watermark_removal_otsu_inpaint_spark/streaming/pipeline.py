@@ -185,3 +185,22 @@ def run_stateful_pipeline(seq: DataFrame, out_dir: str, checkpoint_dir: str,
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_otsu_pipeline(seq: DataFrame, out_dir: str, checkpoint_dir: str,
+                      params: EngineParams = DEFAULT_PARAMS,
+                      trigger_once: bool = True):
+    """north_star composition, streaming: per micro-batch, the (source)-level
+    token histogram feeds the window-SQL Otsu, whose thresholds flag
+    contaminated spans that the K2 kernel repairs; committed exactly-once."""
+    from ..operators.otsu import otsu_repair
+    sink = ExactlyOnceParquetSink(out_dir)
+
+    def process(batch_df, batch_id):
+        sink(otsu_repair(batch_df, ["source"], params), batch_id)
+
+    writer = (seq.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

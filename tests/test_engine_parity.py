@@ -174,3 +174,30 @@ def test_repair_with_profiles_matches_kernel(spark, seq_df, seq_rows):
         assert g.tokens == exp_t.astype(np.int32).tolist()
         assert g.pass_count == exp_p
         assert g.doc_type == p.doc_type
+
+
+def test_otsu_repair_matches_kernel(spark, seq_df, seq_rows):
+    """north_star composition: per-source histogram -> Otsu -> threshold
+    mask -> repair == kernel run with the same per-source threshold."""
+    from pdf_watermark_removal_otsu_inpaint_spark.operators.otsu import (
+        otsu_repair)
+    out = {(r.doc_id, r.seq_no): r
+           for r in otsu_repair(seq_df, ["source"]).collect()}
+    # per-source thresholds from the kernel
+    by_source = {}
+    for row in seq_rows:
+        h = by_source.setdefault(row["source"], np.zeros(256, dtype=np.int64))
+        h += rk.histogram256(rk.bucket256(np.array(row["tokens"])))
+    thr = {s: rk.otsu_threshold(h) for s, h in by_source.items()}
+    for row in seq_rows:
+        g = out[(row["doc_id"], row["seq_no"])]
+        assert g.otsu_threshold == thr[row["source"]]
+        a = np.array(row["tokens"])
+        mask = rk.filter_runs(
+            rk.detect_mask_threshold(a, thr[row["source"]]), 100, 5000)
+        if not mask.any():
+            exp = a
+        else:
+            radius = rk.dynamic_radius(rk.coverage(mask), 2, 1.0)
+            exp = rk.blend(a, rk.inpaint_1d(a, mask, radius), mask, 1.0)
+        assert g.tokens == exp.astype(np.int32).tolist()

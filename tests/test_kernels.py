@@ -280,3 +280,31 @@ def test_detect_mask_auto_runs_and_respects_protection():
     assert m.dtype == bool and m.size == t.size
     # dark text is protected out even in auto mode
     assert not m[220:235].any()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=255), min_size=2,
+                max_size=64),
+       st.lists(st.booleans(), min_size=2, max_size=64),
+       st.integers(min_value=1, max_value=8))
+def test_inpaint_touches_only_masked_positions(toks, bits, radius):
+    n = min(len(toks), len(bits))
+    t = np.array(toks[:n], dtype=np.int32)
+    m = np.array(bits[:n], dtype=bool)
+    out = rk.inpaint_1d(t, m, radius)
+    assert (out[~m] == t[~m]).all()
+    # filled values are bounded by the original value range
+    assert out.min() >= t.min() and out.max() <= t.max()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.booleans(), min_size=1, max_size=64),
+       st.integers(min_value=1, max_value=10),
+       st.integers(min_value=1, max_value=20))
+def test_filter_runs_is_subset_and_bounds_hold(bits, lo, hi):
+    m = np.array(bits, dtype=bool)
+    lo, hi = min(lo, hi), max(lo, hi)
+    kept = rk.filter_runs(m, lo, hi)
+    assert not (kept & ~m).any()  # subset of the input mask
+    for s, e in rk.run_spans(kept):
+        assert lo <= e - s <= hi

@@ -290,3 +290,24 @@ def test_sliding_window_stream_matches_batch(spark, tmp_path):
     exp = {(r.window.start, r.source, r.tok): r.cnt
            for r in oh.windowed_histogram(df, "2 minutes", "30 seconds").collect()}
     assert got == exp and len(exp) > 0
+
+
+def test_otsu_pipeline_streaming_matches_batch(spark, tmp_path):
+    """north_star: hist -> Otsu -> flag -> repair per micro-batch, committed
+    exactly-once; single-batch stream == batch operator output."""
+    from pdf_watermark_removal_otsu_inpaint_spark.operators.otsu import (
+        otsu_repair)
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.pipeline import (
+        run_otsu_pipeline)
+    d = str(tmp_path / "seq")
+    df = sequences_df(spark, 30, seed=12)
+    write_batches(spark, [df], d)
+    q = run_otsu_pipeline(file_stream(spark, d), str(tmp_path / "out"),
+                          str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"))
+    got = {(r.doc_id, r.seq_no): (r.tokens, r.otsu_threshold)
+           for r in sink.read_committed(spark).collect()}
+    exp = {(r.doc_id, r.seq_no): (r.tokens, r.otsu_threshold)
+           for r in otsu_repair(_seq_cols(df), ["source"]).collect()}
+    assert got == exp and len(got) == 30
