@@ -1,0 +1,321 @@
+"""Batch-vectorized repair kernel over the flat Arrow buffer (mapInArrow).
+
+The pandas-UDF path (operators/repair.py) loops rows inside the batch; this
+path vectorizes ACROSS rows: a micro-batch's token lists arrive as one flat
+int32 values buffer + offsets (zero-copy from Arrow's ListArray/BinaryArray
+buffers), and every stage runs as whole-batch NumPy:
+
+- per-row histograms: one bincount over (row_idx*256 + g)
+- dominant-token selection: one argsort over the (B,256) histogram matrix
+- masks: flat elementwise ops
+- morphology / run filtering: span-table arithmetic (start/end vectors with
+  per-span row bounds), written back via delta+cumsum — runs are split at
+  row boundaries so nothing leaks across rows
+- inpaint: one gather of span boundaries + one scatter over all masked
+  positions
+
+Semantics are EXACTLY reference_kernels.remove_watermark_multi_pass per row
+(tests/test_repair_vectorized.py asserts token-array equality row-by-row on
+every fixture scenario plus randomized inputs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+
+from .. import reference_kernels as rk
+from ..params import DEFAULT_PARAMS, EngineParams
+
+_I64 = np.int64
+
+
+def _spans_rowwise(m: np.ndarray, offsets: np.ndarray):
+    """Spans of True in flat mask `m`, split at row boundaries.
+
+    Returns (starts, ends, row_of_span) int64 arrays."""
+    n = m.size
+    if n == 0:
+        z = np.empty(0, dtype=_I64)
+        return z, z, z
+    prev = np.empty(n, dtype=bool)
+    prev[0] = False
+    prev[1:] = m[:-1]
+    prev[offsets[:-1]] = False          # break continuity at row starts
+    nxt = np.empty(n, dtype=bool)
+    nxt[-1] = False
+    nxt[:-1] = m[1:]
+    nxt[offsets[1:] - 1] = False        # break continuity at row ends
+    starts = np.flatnonzero(m & ~prev).astype(_I64)
+    ends = (np.flatnonzero(m & ~nxt) + 1).astype(_I64)
+    rows = np.searchsorted(offsets, starts, side="right") - 1
+    return starts, ends, rows
+
+
+def _write_spans(lo: np.ndarray, hi: np.ndarray, n: int) -> np.ndarray:
+    """Span table -> flat bool mask via delta + cumsum (overlap-safe)."""
+    delta = np.zeros(n + 1, dtype=np.int32)
+    np.add.at(delta, lo, 1)
+    np.add.at(delta, hi, -1)
+    return np.cumsum(delta[:n]) > 0
+
+
+def _dilate_flat(m, offsets, k, iters=1):
+    if k <= 1 or iters <= 0:
+        return m.copy()
+    left, right = (k - 1) // 2, k // 2
+    s, e, rows = _spans_rowwise(m, offsets)
+    if s.size == 0:
+        return m.copy()
+    row_lo, row_hi = offsets[rows], offsets[rows + 1]
+    lo = np.maximum(s - right * iters, row_lo)
+    hi = np.minimum(e + left * iters, row_hi)
+    return _write_spans(lo, hi, m.size)
+
+
+def _erode_flat(m, offsets, k, iters=1):
+    if k <= 1 or iters <= 0:
+        return m.copy()
+    left, right = (k - 1) // 2, k // 2
+    s, e, rows = _spans_rowwise(m, offsets)
+    if s.size == 0:
+        return m.copy()
+    row_lo, row_hi = offsets[rows], offsets[rows + 1]
+    # True padding outside each ROW: spans touching a row edge keep it
+    lo = np.where(s == row_lo, row_lo, s + left * iters)
+    hi = np.where(e == row_hi, row_hi, e - right * iters)
+    keep = lo < hi
+    return _write_spans(lo[keep], hi[keep], m.size)
+
+
+def _open_flat(m, offsets, k, iters=1):
+    return _dilate_flat(_erode_flat(m, offsets, k, iters), offsets, k, iters)
+
+
+def _close_flat(m, offsets, k, iters=1):
+    return _erode_flat(_dilate_flat(m, offsets, k, iters), offsets, k, iters)
+
+
+def _filter_runs_flat(m, offsets, min_run, max_run):
+    s, e, _ = _spans_rowwise(m, offsets)
+    if s.size == 0:
+        return m.copy()
+    ln = e - s
+    keep = (ln >= min_run) & (ln <= max_run)
+    return _write_spans(s[keep], e[keep], m.size)
+
+
+def _detect_wm_batch(g, offsets, lengths, row_idx):
+    """Vectorized detect_wm_token per row: returns int32 wm (-1 = none)."""
+    B = lengths.size
+    hist = np.bincount(row_idx * 256 + g, minlength=B * 256).reshape(B, 256)
+    order = np.argsort(hist, axis=1, kind="stable")[:, ::-1][:, :rk.TOPK_MODES]
+    counts = np.take_along_axis(hist, order, axis=1)
+    cov = counts * 100.0 / lengths[:, None]
+    qual = ((order >= rk.WM_VALUE_LO) & (order <= rk.WM_VALUE_HI)
+            & (cov >= rk.WM_COV_LO) & (cov <= rk.WM_COV_HI))
+    has = qual.any(axis=1)
+    first = np.argmax(qual, axis=1)
+    wm = np.take_along_axis(order, first[:, None], axis=1)[:, 0]
+    return np.where(has, wm, -1).astype(np.int32)
+
+
+def _text_protect_flat(g, offsets, expand):
+    core = g < rk.TEXT_CORE_THRESHOLD
+    if expand > 0:
+        core = _dilate_flat(core, offsets, 2 * expand + 1, 1)
+    return _open_flat(core, offsets, rk.TEXT_CLEAN_KERNEL, 1)
+
+
+def _inpaint_flat(out, m, offsets, radius_per_row):
+    """Vectorized inpaint_1d over all masked spans; writes into `out`."""
+    s, e, rows = _spans_rowwise(m, offsets)
+    if s.size == 0:
+        return
+    row_lo, row_hi = offsets[rows], offsets[rows + 1]
+    has_l = s > row_lo
+    has_r = e < row_hi
+    L = np.where(has_l, out[np.maximum(s - 1, 0)], 0).astype(_I64)
+    R = np.where(has_r, out[np.minimum(e, out.size - 1)], 0).astype(_I64)
+
+    P = np.flatnonzero(m).astype(_I64)
+    sp = np.searchsorted(s, P, side="right") - 1     # span id per position
+    dl = P - (s[sp] - 1)
+    dr = e[sp] - P
+    Lp, Rp = L[sp], R[sp]
+    hl, hr = has_l[sp], has_r[sp]
+    rad = radius_per_row[rows[sp]]
+
+    interp = (Lp * dr + Rp * dl) // (dl + dr)
+    nearest = np.where(dl < dr, Lp, np.where(dr < dl, Rp, (Lp + Rp) // 2))
+    two = np.where(np.minimum(dl, dr) <= rad, interp, nearest)
+    v = np.where(hl & hr, two,
+                 np.where(hl, Lp, np.where(hr, Rp, out[P].astype(_I64))))
+    out[P] = v.astype(out.dtype)
+
+
+def repair_batch(flat: np.ndarray, offsets: np.ndarray,
+                 params: EngineParams = DEFAULT_PARAMS,
+                 wm_in: np.ndarray | None = None):
+    """Whole-batch remove_watermark_multi_pass.
+
+    flat: int32 concatenated tokens; offsets: int64 (B+1).
+    Returns (out_flat int32, coverage float64[B], wm int32[B] (-1=none),
+    pass_count int32[B])."""
+    p = params
+    offsets = np.asarray(offsets, dtype=_I64)
+    B = offsets.size - 1
+    lengths = np.diff(offsets)
+    row_idx = np.repeat(np.arange(B, dtype=_I64), lengths)
+    out = np.array(flat, dtype=np.int32, copy=True)
+    wm = (np.full(B, -1, dtype=np.int32) if wm_in is None
+          else np.asarray(wm_in, dtype=np.int32).copy())
+    first_cov = np.zeros(B)
+    n_passes = np.zeros(B, dtype=np.int32)
+    active = np.ones(B, dtype=bool)
+
+    for pass_num in range(p.passes):
+        if not active.any():
+            break
+        g = np.mod(out, 256).astype(np.int32, copy=False)
+        need = wm < 0
+        if need.any():
+            det = _detect_wm_batch(g, offsets, lengths, row_idx)
+            wm = np.where(need, det, wm)
+        # raw mask: |g - wm_row| < tol, only rows with a wm and still active
+        wm_pos = wm[row_idx]
+        act_pos = active[row_idx]
+        m = (np.abs(g - wm_pos) < p.color_tolerance) \
+            & (wm_pos >= 0) & act_pos  # int32 throughout, values 0..255
+        m &= ~(g > rk.BACKGROUND_THRESHOLD)
+        if p.protect_text:
+            # protection applies per row unless wm is text-like
+            prot_rows = ~((wm >= rk.TEXTLIKE_LO) & (wm <= rk.TEXTLIKE_HI))
+            if prot_rows.any() and m.any():
+                tp = _text_protect_flat(g, offsets, p.text_expand)
+                m &= ~(tp & prot_rows[row_idx])
+        m = _open_flat(m, offsets, p.kernel_size, 1)
+        m = _close_flat(m, offsets, p.kernel_size, 2)
+        m = _filter_runs_flat(m, offsets, p.min_run, p.max_run)
+
+        nonzero = np.bincount(row_idx, weights=m, minlength=B) > 0
+        newly_done = active & ~nonzero
+        active &= nonzero
+        if not active.any():
+            break
+        m &= active[row_idx]
+        if pass_num > 0:
+            m = _dilate_flat(m, offsets, rk.MULTIPASS_DILATE_KERNEL, 1)
+        cov = np.bincount(row_idx, weights=m, minlength=B) / lengths
+        if pass_num == 0:
+            first_cov = np.where(active, cov, 0.0)
+        n_passes += active.astype(np.int32)
+        radius = np.maximum(
+            2, (p.inpaint_radius + cov * 10.0 * p.inpaint_strength)
+            .astype(_I64))
+        filled = out.copy()
+        _inpaint_flat(filled, m, offsets, radius)
+        if p.inpaint_strength >= rk.BLEND_FULL_STRENGTH or \
+           p.inpaint_strength == 1.0:
+            out = np.where(m, filled, out)
+        else:
+            bf = m.astype(np.float32) * np.float32(p.inpaint_strength)
+            res = (out.astype(np.float32) * (np.float32(1.0) - bf)
+                   + filled.astype(np.float32) * bf)
+            out = res.astype(np.int32)
+        _ = newly_done
+    return out, first_cov, wm, n_passes
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow operator: zero-copy in and out for both physical layouts.
+# ---------------------------------------------------------------------------
+REPAIR_ARROW_SCHEMA = ("doc_id string, seq_no long, source string, "
+                       "tokens array<int>, coverage double, wm_token int, "
+                       "pass_count int")
+
+
+def repair_sequences_arrow(df, params: EngineParams = DEFAULT_PARAMS):
+    """sequences -> repaired via mapInArrow (whole-batch vectorized kernel).
+
+    Reads the ListArray's values/offsets buffers directly; emits a new
+    ListArray over the repaired flat buffer — no per-row Python objects."""
+    import pyarrow as pa
+
+    p = params
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            toks = b.column(b.schema.get_field_index("tokens"))
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            lst = toks
+            offsets = lst.offsets.to_numpy(zero_copy_only=False).astype(_I64)
+            flat = lst.values.to_numpy(zero_copy_only=False)
+            # Arrow list offsets may not start at 0 when sliced
+            base = offsets[0]
+            flat = flat[base:offsets[-1]]
+            offsets = offsets - base
+            out, cov, wm, npass = repair_batch(
+                np.ascontiguousarray(flat, dtype=np.int32), offsets, p)
+            out_list = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(out, type=pa.int32()))
+            wm_arr = pa.array(np.where(wm < 0, None, wm).tolist(),
+                              type=pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [b.column(b.schema.get_field_index("doc_id")),
+                 b.column(b.schema.get_field_index("seq_no")),
+                 b.column(b.schema.get_field_index("source")),
+                 out_list,
+                 pa.array(cov, type=pa.float64()),
+                 wm_arr,
+                 pa.array(npass, type=pa.int32())],
+                ["doc_id", "seq_no", "source", "tokens", "coverage",
+                 "wm_token", "pass_count"])
+
+    return df.mapInArrow(fn, REPAIR_ARROW_SCHEMA)
+
+
+def repair_sequences_arrow_packed(df, params: EngineParams = DEFAULT_PARAMS):
+    """Packed-binary flavor: the BinaryArray's data buffer IS the flat int32
+    token buffer (offsets in bytes / 4)."""
+    import pyarrow as pa
+
+    p = params
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            col = b.column(b.schema.get_field_index("tokens_bin"))
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            byte_offsets = np.frombuffer(col.buffers()[1], dtype=np.int32,
+                                         count=len(col) + 1 + col.offset)
+            byte_offsets = byte_offsets[col.offset:].astype(_I64)
+            data = np.frombuffer(col.buffers()[2], dtype=np.int32)
+            base = byte_offsets[0] // 4
+            offsets = byte_offsets // 4 - base
+            flat = data[base:base + offsets[-1]]
+            out, cov, wm, npass = repair_batch(
+                np.ascontiguousarray(flat, dtype=np.int32), offsets, p)
+            out_bin = pa.BinaryArray.from_buffers(
+                pa.binary(), len(col),
+                [None, pa.py_buffer((offsets * 4).astype(np.int32).tobytes()),
+                 pa.py_buffer(out.tobytes())])
+            wm_arr = pa.array(np.where(wm < 0, None, wm).tolist(),
+                              type=pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [b.column(b.schema.get_field_index("doc_id")),
+                 b.column(b.schema.get_field_index("seq_no")),
+                 b.column(b.schema.get_field_index("source")),
+                 out_bin,
+                 pa.array(cov, type=pa.float64()),
+                 wm_arr,
+                 pa.array(npass, type=pa.int32())],
+                ["doc_id", "seq_no", "source", "tokens_bin", "coverage",
+                 "wm_token", "pass_count"])
+
+    return df.mapInArrow(fn, "doc_id string, seq_no long, source string, "
+                             "tokens_bin binary, coverage double, "
+                             "wm_token int, pass_count int")

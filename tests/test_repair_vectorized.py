@@ -1,0 +1,105 @@
+"""Batch-vectorized kernel == per-row reference kernel, token-array equality
+on every fixture scenario plus randomized arrays, and the mapInArrow
+operators == the pandas-UDF operators on Spark."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_watermark_removal_otsu_inpaint_spark import reference_kernels as rk
+from pdf_watermark_removal_otsu_inpaint_spark.operators.repair_vectorized import (
+    repair_batch)
+from pdf_watermark_removal_otsu_inpaint_spark.params import DEFAULT_PARAMS
+from pdf_watermark_removal_otsu_inpaint_spark.sources.sequences import (
+    SCENARIOS, generate_rows, scenario_tokens)
+
+
+def _flat(rows):
+    arrs = [np.asarray(r, dtype=np.int32) for r in rows]
+    offsets = np.zeros(len(arrs) + 1, dtype=np.int64)
+    offsets[1:] = np.cumsum([a.size for a in arrs])
+    return np.concatenate(arrs) if arrs else np.empty(0, np.int32), offsets
+
+
+def _expected(rows, params):
+    outs, covs, wms, nps = [], [], [], []
+    for r in rows:
+        out, n, cov, wm = rk.remove_watermark_multi_pass(
+            np.asarray(r, dtype=np.int32), params.passes,
+            None, params.color_tolerance, params.kernel_size,
+            params.protect_text, params.text_expand, params.min_run,
+            params.max_run, params.inpaint_radius, params.inpaint_strength)
+        outs.append(out.astype(np.int32))
+        covs.append(cov)
+        wms.append(-1 if wm is None else wm)
+        nps.append(n)
+    return outs, covs, wms, nps
+
+
+def _check(rows, params):
+    flat, offsets = _flat(rows)
+    out, cov, wm, npass = repair_batch(flat, offsets, params)
+    exp_out, exp_cov, exp_wm, exp_np = _expected(rows, params)
+    for i in range(len(rows)):
+        got = out[offsets[i]:offsets[i + 1]]
+        assert got.tolist() == exp_out[i].tolist(), f"row {i} tokens differ"
+        assert wm[i] == exp_wm[i], f"row {i} wm"
+        assert npass[i] == exp_np[i], f"row {i} pass_count"
+        assert abs(cov[i] - exp_cov[i]) < 1e-12, f"row {i} coverage"
+
+
+@pytest.mark.parametrize("passes", [1, 2, 3])
+def test_all_scenarios_batch_equal(passes):
+    rows = [scenario_tokens(s, 2000) for s in SCENARIOS if s != "wm_runs"]
+    rows.append(scenario_tokens("wm_runs", 12000))
+    _check(rows, DEFAULT_PARAMS.with_(passes=passes))
+
+
+def test_generated_mix_batch_equal():
+    rows = [r["tokens"] for r in generate_rows(80, seed=13)]
+    _check(rows, DEFAULT_PARAMS.with_(passes=2))
+
+
+def test_non_default_params_batch_equal():
+    rows = [r["tokens"] for r in generate_rows(40, seed=14)]
+    _check(rows, DEFAULT_PARAMS.with_(passes=2, color_tolerance=18,
+                                      kernel_size=5, inpaint_strength=1.3,
+                                      min_run=50, max_run=800))
+    _check(rows, DEFAULT_PARAMS.with_(passes=1, inpaint_strength=0.5))
+    _check(rows, DEFAULT_PARAMS.with_(passes=2, protect_text=False,
+                                      inpaint_strength=1.5))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.lists(st.integers(min_value=0, max_value=255),
+                         min_size=1, max_size=80),
+                min_size=1, max_size=8),
+       st.integers(min_value=1, max_value=3))
+def test_random_rows_batch_equal(rows, passes):
+    _check(rows, DEFAULT_PARAMS.with_(passes=passes, min_run=3, max_run=40))
+
+
+def test_spark_arrow_operator_matches_pandas_udf(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_watermark_removal_otsu_inpaint_spark.operators.repair import (
+        make_pack_udf, repair_sequences)
+    from pdf_watermark_removal_otsu_inpaint_spark.operators.repair_vectorized import (
+        repair_sequences_arrow, repair_sequences_arrow_packed)
+    from pdf_watermark_removal_otsu_inpaint_spark.sources.sequences import (
+        sequences_df)
+    df = sequences_df(spark, 50, seed=15)
+    params = DEFAULT_PARAMS.with_(passes=2)
+    exp = {(r.doc_id, r.seq_no): (r.tokens, r.wm_token, r.pass_count)
+           for r in repair_sequences(df, params).collect()}
+    got = {(r.doc_id, r.seq_no): (r.tokens, r.wm_token, r.pass_count)
+           for r in repair_sequences_arrow(df, params).collect()}
+    assert got == exp
+    packed = df.withColumn("tokens_bin", make_pack_udf()(F.col("tokens"))) \
+        .drop("tokens")
+    got_b = {(r.doc_id, r.seq_no):
+             (np.frombuffer(r.tokens_bin, "<i4").tolist(), r.wm_token,
+              r.pass_count)
+             for r in repair_sequences_arrow_packed(packed, params).collect()}
+    assert got_b == exp
