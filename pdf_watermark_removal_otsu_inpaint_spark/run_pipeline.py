@@ -34,6 +34,8 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--no-protect-text", action="store_true")
     ap.add_argument("--profiled", action="store_true",
                     help="classify sources and auto-tune params (J2)")
+    ap.add_argument("--engine", choices=["pandas", "arrow"], default="pandas",
+                    help="kernel execution path (arrow = batch-vectorized)")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -49,8 +51,13 @@ def main(argv: list[str] | None = None) -> None:
         from .operators.repair import repair_sequences, repair_with_profiles
         from .sources.tables import read_sequences, write_sequences
         df = read_sequences(spark, args.input)
-        out = (repair_with_profiles(df, params) if args.profiled
-               else repair_sequences(df, params))
+        if args.profiled:
+            out = repair_with_profiles(df, params)
+        elif args.engine == "arrow":
+            from .operators.repair_vectorized import repair_sequences_arrow
+            out = repair_sequences_arrow(df, params)
+        else:
+            out = repair_sequences(df, params)
         write_sequences(out, args.output, mode="overwrite")
         n = read_sequences(spark, args.output).count()
         print(f"repaired {n} sequences -> {args.output}")
@@ -60,7 +67,8 @@ def main(argv: list[str] | None = None) -> None:
         from .sources.tables import read_sequences_stream
         from .streaming.pipeline import run_repair_pipeline
         seq = read_sequences_stream(spark, args.input)
-        q = run_repair_pipeline(seq, args.output, args.checkpoint, params)
+        q = run_repair_pipeline(seq, args.output, args.checkpoint, params,
+                                engine=args.engine)
         q.awaitTermination()
         print(f"stream drained -> {args.output}")
     spark.stop()

@@ -139,17 +139,22 @@ def salted_source_stats(seq: DataFrame, n_salts: int = 8) -> DataFrame:
 # --- end-to-end wiring ---------------------------------------------------------
 def run_repair_pipeline(seq: DataFrame, out_dir: str, checkpoint_dir: str,
                         params: EngineParams = DEFAULT_PARAMS,
-                        trigger_once: bool = True):
+                        trigger_once: bool = True, engine: str = "pandas"):
     """sequences stream -> detect (in-batch) -> repair -> exactly-once sink.
 
     The detect+repair here uses the fused batch operators inside foreachBatch
     (one Arrow crossing); the X5/X6 stateful variants are separate entry
-    points above. Returns the StreamingQuery."""
+    points above. engine="arrow" swaps in the batch-vectorized mapInArrow
+    kernel (same results, parity-tested). Returns the StreamingQuery."""
     sink = ExactlyOnceParquetSink(out_dir)
 
     def process(batch_df, batch_id):
-        from ..operators.repair import repair_sequences
-        sink(repair_sequences(batch_df, params), batch_id)
+        if engine == "arrow":
+            from ..operators.repair_vectorized import repair_sequences_arrow
+            sink(repair_sequences_arrow(batch_df, params), batch_id)
+        else:
+            from ..operators.repair import repair_sequences
+            sink(repair_sequences(batch_df, params), batch_id)
 
     writer = (seq.writeStream.foreachBatch(process)
               .option("checkpointLocation", checkpoint_dir))

@@ -103,3 +103,22 @@ def test_spark_arrow_operator_matches_pandas_udf(spark):
               r.pass_count)
              for r in repair_sequences_arrow_packed(packed, params).collect()}
     assert got_b == exp
+
+
+def test_empty_and_tiny_rows(spark):
+    """Degenerate rows (empty, single-token) flow through both kernel paths."""
+    import datetime as dt
+
+    from pdf_watermark_removal_otsu_inpaint_spark.operators.repair import (
+        repair_sequences)
+    from pdf_watermark_removal_otsu_inpaint_spark.operators.repair_vectorized import (
+        repair_sequences_arrow)
+    rows = [("d0", [], 0, "web", dt.datetime(2026, 1, 1), 0),
+            ("d1", [200], 1, "web", dt.datetime(2026, 1, 1), 0),
+            ("d2", [255] * 10, 10, "web", dt.datetime(2026, 1, 1), 0)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string, "
+              "event_ts timestamp, seq_no long")
+    a = {r.doc_id: r.tokens for r in repair_sequences(df).collect()}
+    b = {r.doc_id: r.tokens for r in repair_sequences_arrow(df).collect()}
+    assert a == b == {"d0": [], "d1": [200], "d2": [255] * 10}
