@@ -1133,3 +1133,162 @@ def q38(spark, sf_dir):
     return out.select("doc_id", "source", "otsu_threshold",
                       F.round("coverage", 6).alias("coverage"),
                       F.size("tokens").alias("n_out"))
+
+
+@q("q39_bpe_token_stats", """
+SELECT source,
+       CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+            AS BIGINT) AS bpe_tokens,
+       CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+         AS ws_tokens
+FROM documents GROUP BY source
+""")
+def q39(spark, sf_dir):
+    """Token counting, BPE-ish regex flavor (training-data op): word /
+    number / punctuation pieces, next to the whitespace count."""
+    d = t(spark, sf_dir, "documents")
+    bpe = F.size(F.expr(
+        "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+    return (d.groupBy("source")
+            .agg(F.sum(bpe).alias("bpe_tokens"),
+                 F.sum(F.size(F.split("text", r"\s+"))).alias("ws_tokens")))
+
+
+def _marker_cnt_sql(marker):
+    return (f"(length(text) - length(replace(text, '{marker}', '')))"
+            f" / {len(marker)}")
+
+
+@q("q44_lang_id", f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_marker_cnt_sql('th')} + {_marker_cnt_sql(' a ')} AS s_en,
+         {_marker_cnt_sql('qu')} + {_marker_cnt_sql('rt')}  AS s_es,
+         {_marker_cnt_sql('ow')} + {_marker_cnt_sql('oi')}  AS s_fr,
+         {_marker_cnt_sql('sc')} + {_marker_cnt_sql('ch')}  AS s_de
+  FROM documents),
+guessed AS (
+  SELECT doc_id, lang,
+    CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+         WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+         WHEN s_fr >= s_de THEN 'fr'
+         ELSE 'de' END AS lang_guess
+  FROM scored)
+SELECT lang, lang_guess, COUNT(*) AS n FROM guessed GROUP BY lang, lang_guess
+""")
+def q44(spark, sf_dir):
+    """Language-ID via marker-n-gram scoring (training-data op): fixed
+    marker counts -> argmax with deterministic tie order; confusion counts
+    vs the labeled lang column. (The synthetic corpus shares one vocabulary
+    across langs, so accuracy is ~chance — the operator shape is what
+    scales.)"""
+    d = t(spark, sf_dir, "documents")
+
+    def cnt(m):
+        return (F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(m)))) / len(m)
+
+    scored = d.select(
+        "doc_id", "lang",
+        (cnt("th") + cnt(" a ")).alias("s_en"),
+        (cnt("qu") + cnt("rt")).alias("s_es"),
+        (cnt("ow") + cnt("oi")).alias("s_fr"),
+        (cnt("sc") + cnt("ch")).alias("s_de"))
+    guess = (F.when((F.col("s_en") >= F.col("s_es"))
+                    & (F.col("s_en") >= F.col("s_fr"))
+                    & (F.col("s_en") >= F.col("s_de")), "en")
+             .when((F.col("s_es") >= F.col("s_fr"))
+                   & (F.col("s_es") >= F.col("s_de")), "es")
+             .when(F.col("s_fr") >= F.col("s_de"), "fr")
+             .otherwise("de"))
+    return (scored.withColumn("lang_guess", guess)
+            .groupBy("lang", "lang_guess").agg(F.count("*").alias("n")))
+
+
+@q("q45_rolling_fingerprint", f"""
+SELECT doc_id,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(string_split(text, ' '),
+      w -> {_WORDHASH.format(w='w')})),
+    (acc, h) -> (acc * 131 + h) % 1000000007) AS fingerprint
+FROM documents
+""")
+def q45(spark, sf_dir):
+    """Order-sensitive rolling document fingerprint (training-data op):
+    polynomial fold over per-word polynomial hashes — unlike MinHash (q25),
+    permuted documents get different fingerprints."""
+    d = t(spark, sf_dir, "documents")
+    fp = F.expr(
+        "aggregate(split(text, ' '), 0L, (acc, w) -> "
+        "(acc * 131 + aggregate(split(w, ''), 0L, "
+        "(a, c) -> (a * 31 + ascii(c)) % 1000000007)) % 1000000007)")
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@q("q46_ivf_search", """
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+  WHERE vec_id % 97 = 0),
+pairs AS (
+  SELECT e.vec_id, c.cent_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e.embedding, c.ce), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y) / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(e.embedding, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)) / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(c.ce, c.ce), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)) AS cos
+  FROM embeddings e CROSS JOIN cents c),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cent_id ASC) AS rn
+    FROM pairs) p WHERE rn = 1),
+emb AS (
+  SELECT a.vec_id, a.cent_id, e.embedding
+  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id),
+qv AS (SELECT vec_id AS q_id, embedding AS qe, cent_id AS q_cell
+       FROM emb WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.q_id, a.vec_id AS cand_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(q.qe, a.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y) / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(q.qe, q.qe), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)) / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(a.embedding, a.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)) AS cos
+  FROM qv q JOIN emb a ON a.cent_id = q.q_cell AND a.vec_id <> q.q_id)
+SELECT q_id, cand_id, ROUND(cos, 6) AS cos_sim, rnk FROM (
+  SELECT q_id, cand_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, cand_id ASC) AS rnk
+  FROM scored) s WHERE rnk <= 2
+""")
+def q46(spark, sf_dir):
+    """IVF-style ANN (the scale path next to LSH q28): deterministic
+    centroid subset (vec_id % 97), nearest-centroid cell assignment, then
+    top-k cosine restricted to the query's cell — the candidate set shrinks
+    by ~|cells|x vs brute force (q24)."""
+    e = t(spark, sf_dir, "embeddings")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a_, b_: a_.cast("double") * b_.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    def cos(x, y):
+        return dot(x, y) / F.sqrt(dot(x, x)) / F.sqrt(dot(y, y))
+
+    cents = (e.where(F.col("vec_id") % 97 == 0)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("embedding").alias("ce")))
+    pairs = e.crossJoin(F.broadcast(cents)) \
+        .select("vec_id", "embedding", "cent_id",
+                cos(F.col("embedding"), F.col("ce")).alias("cos"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+    assign = (pairs.withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") == 1)
+              .select("vec_id", "embedding", "cent_id"))
+    qv = (assign.where(F.col("vec_id") % 50 == 0)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("qe"),
+                  F.col("cent_id").alias("q_cell")))
+    scored = (qv.join(assign, (F.col("cent_id") == F.col("q_cell"))
+                      & (F.col("vec_id") != F.col("q_id")))
+              .select("q_id", F.col("vec_id").alias("cand_id"),
+                      cos(F.col("qe"), F.col("embedding")).alias("cos")))
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w2))
+            .where(F.col("rnk") <= 2)
+            .select("q_id", "cand_id", F.round("cos", 6).alias("cos_sim"),
+                    "rnk"))
