@@ -18,7 +18,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import mask_exprs as mx
 from ..operators import histogram as oh
 from ..operators import otsu as oo
 

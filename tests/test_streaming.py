@@ -311,3 +311,66 @@ def test_otsu_pipeline_streaming_matches_batch(spark, tmp_path):
     exp = {(r.doc_id, r.seq_no): (r.tokens, r.otsu_threshold)
            for r in otsu_repair(_seq_cols(df), ["source"]).collect()}
     assert got == exp and len(got) == 30
+
+
+def test_stateful_pipeline_resumes_from_checkpoint(spark, tmp_path):
+    """X5+X7+X8 combined: the stateful-detect -> join -> repair pipeline is
+    killed after its first micro-batch commit and restarted from the same
+    checkpoint; the committed view equals an uninterrupted run (state store
+    recovery included)."""
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.pipeline import (
+        run_stateful_pipeline)
+    seq_dir = str(tmp_path / "seq")
+    df = sequences_df(spark, 24, seed=16)
+    halves = [df.where(F.col("seq_no") % 2 == 0),
+              df.where(F.col("seq_no") % 2 == 1)]
+    write_batches(spark, halves, seq_dir)
+
+    q = run_stateful_pipeline(file_stream(spark, seq_dir),
+                              str(tmp_path / "out_a"), str(tmp_path / "ck_a"))
+    q.awaitTermination(180)
+    base = {(r.doc_id, r.seq_no): r.tokens
+            for r in ExactlyOnceParquetSink(str(tmp_path / "out_a"))
+            .read_committed(spark).collect()}
+
+    # crashy run: let batch 0 commit, kill the query before batch 1 commits
+    out_b = str(tmp_path / "out_b")
+    ck_b = str(tmp_path / "ck_b")
+    sink_b = ExactlyOnceParquetSink(out_b)
+    from pdf_watermark_removal_otsu_inpaint_spark.operators.repair import (
+        make_apply_mask_udf)
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.pipeline import (
+        join_masks_with_sequences, repair_joined)
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.state import (
+        detect_stream_stateful)
+
+    def build_query(crash_on):
+        seq = file_stream(spark, seq_dir, max_files_per_trigger=1)
+        masks = detect_stream_stateful(seq)
+        joined = join_masks_with_sequences(seq, masks,
+                                           seq_watermark="10 minutes",
+                                           mask_watermark="10 minutes")
+        repaired = repair_joined(joined)
+
+        def process(batch_df, batch_id):
+            if batch_id in crash_on:
+                raise RuntimeError("injected crash")
+            sink_b(batch_df, batch_id)
+
+        return (repaired.writeStream.foreachBatch(process)
+                .option("checkpointLocation", ck_b)
+                .trigger(availableNow=True).start())
+
+    spark.conf.set(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+        "false")
+    q2 = build_query(crash_on={1})
+    with pytest.raises(Exception):
+        q2.awaitTermination(180)
+    assert 0 in sink_b.committed_batches()
+
+    q3 = build_query(crash_on=set())
+    q3.awaitTermination(180)
+    resumed = {(r.doc_id, r.seq_no): r.tokens
+               for r in sink_b.read_committed(spark).collect()}
+    assert resumed == base
