@@ -226,11 +226,14 @@ def q10(spark, sf_dir):
     """X3-as-batch: sessionization via gaps-and-islands (30-min gap)."""
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))  # NTZ->LTZ is identity (UTC session)
+    # NTZ-native gap comparison: timestamp subtraction yields a day-time
+    # interval independent of the session time zone (the driver's session
+    # may not be UTC-pinned like ours)
+    gap = F.col("ts") - F.lag("ts").over(w)
     flagged = e.withColumn(
         "new_session",
         F.when(F.lag("ts").over(w).isNull()
-               | (us - F.lag(us).over(w) > 1800 * 1_000_000), 1).otherwise(0))
+               | (gap > F.expr("INTERVAL 30 MINUTES")), 1).otherwise(0))
     cum = (Window.partitionBy("user_id").orderBy("ts", "event_id")
            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (flagged.withColumn("session_no", F.sum("new_session").over(cum))
