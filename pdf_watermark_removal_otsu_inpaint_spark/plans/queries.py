@@ -968,12 +968,13 @@ WITH pairs AS (
   FROM embeddings a JOIN embeddings b
     ON a.label = b.label AND a.vec_id < b.vec_id)
 SELECT a_id, b_id, ROUND(cos, 6) AS cos_sim
-FROM pairs WHERE cos >= 0.999
+FROM pairs WHERE cos >= 0.4
 """)
 def q31(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (dedup op #4): label-bucketed
     self-join bounds the candidate set; sequential-fold cosine is bit-exact
-    vs the oracle."""
+    vs the oracle. Threshold 0.4 sits in the top tail of this synthetic
+    corpus (max pairwise cosine ~0.47) so the operator emits real pairs."""
     e = t(spark, sf_dir, "embeddings")
 
     def dot(x, y):
@@ -990,7 +991,7 @@ def q31(spark, sf_dir):
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
             .select(F.col("a.vec_id").alias("a_id"),
                     F.col("b.vec_id").alias("b_id"), cos.alias("cos"))
-            .where(F.col("cos") >= 0.999)
+            .where(F.col("cos") >= 0.4)
             .select("a_id", "b_id", F.round("cos", 6).alias("cos_sim")))
 
 
