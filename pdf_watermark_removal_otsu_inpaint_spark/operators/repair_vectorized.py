@@ -228,6 +228,19 @@ def repair_batch(flat: np.ndarray, offsets: np.ndarray,
     return out, first_cov, wm, n_passes
 
 
+
+def _as_plain(col, typ):
+    """Pass-through column -> exactly the declared output type (parquet scans
+    hand mapInArrow dictionary-encoded strings, which Spark cannot read back
+    through a plain-string output schema)."""
+    import pyarrow as pa
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.type != typ:
+        col = col.cast(typ)
+    return col
+
+
 # ---------------------------------------------------------------------------
 # mapInArrow operator: zero-copy in and out for both physical layouts.
 # ---------------------------------------------------------------------------
@@ -265,9 +278,12 @@ def repair_sequences_arrow(df, params: EngineParams = DEFAULT_PARAMS):
             wm_arr = pa.array(np.where(wm < 0, None, wm).tolist(),
                               type=pa.int32())
             yield pa.RecordBatch.from_arrays(
-                [b.column(b.schema.get_field_index("doc_id")),
-                 b.column(b.schema.get_field_index("seq_no")),
-                 b.column(b.schema.get_field_index("source")),
+                [_as_plain(b.column(b.schema.get_field_index("doc_id")),
+                           pa.string()),
+                 _as_plain(b.column(b.schema.get_field_index("seq_no")),
+                           pa.int64()),
+                 _as_plain(b.column(b.schema.get_field_index("source")),
+                           pa.string()),
                  out_list,
                  pa.array(cov, type=pa.float64()),
                  wm_arr,
@@ -306,9 +322,12 @@ def repair_sequences_arrow_packed(df, params: EngineParams = DEFAULT_PARAMS):
             wm_arr = pa.array(np.where(wm < 0, None, wm).tolist(),
                               type=pa.int32())
             yield pa.RecordBatch.from_arrays(
-                [b.column(b.schema.get_field_index("doc_id")),
-                 b.column(b.schema.get_field_index("seq_no")),
-                 b.column(b.schema.get_field_index("source")),
+                [_as_plain(b.column(b.schema.get_field_index("doc_id")),
+                           pa.string()),
+                 _as_plain(b.column(b.schema.get_field_index("seq_no")),
+                           pa.int64()),
+                 _as_plain(b.column(b.schema.get_field_index("source")),
+                           pa.string()),
                  out_bin,
                  pa.array(cov, type=pa.float64()),
                  wm_arr,
@@ -319,3 +338,63 @@ def repair_sequences_arrow_packed(df, params: EngineParams = DEFAULT_PARAMS):
     return df.mapInArrow(fn, "doc_id string, seq_no long, source string, "
                              "tokens_bin binary, coverage double, "
                              "wm_token int, pass_count int")
+
+
+def repair_text_arrow(df, params: EngineParams = DEFAULT_PARAMS):
+    """Fused tokenize+repair over document text: Arrow's UTF-8 StringArray
+    stores (offsets, bytes) — for an ASCII corpus the bytes buffer IS the
+    char-token array, so tokenization is a zero-copy buffer view and the
+    whole batch goes straight into repair_batch. (Non-ASCII bytes become
+    their raw byte values mod 256 — same as per-byte tokenization.)
+
+    Input: (doc_id, source, text); output per-doc repair stats (no token
+    lists shipped back — the aggregate shape used by q40)."""
+    import pyarrow as pa
+
+    p = params
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            txt = b.column(b.schema.get_field_index("text"))
+            if isinstance(txt, pa.ChunkedArray):
+                txt = txt.combine_chunks()
+            if pa.types.is_large_string(txt.type):
+                off_dtype = np.int64
+            else:
+                off_dtype = np.int32
+            offs = np.frombuffer(txt.buffers()[1], dtype=off_dtype,
+                                 count=len(txt) + 1 + txt.offset)
+            offs = offs[txt.offset:].astype(_I64)
+            data = np.frombuffer(txt.buffers()[2], dtype=np.uint8)
+            base = offs[0]
+            offsets = offs - base
+            flat = data[base:base + offsets[-1]].astype(np.int32)
+            out, cov, wm, npass = repair_batch(flat, offsets, p)
+            changed = np.add.reduceat(
+                (out != flat).astype(np.int64),
+                offsets[:-1].clip(max=max(flat.size - 1, 0))) \
+                if flat.size else np.zeros(len(txt), dtype=np.int64)
+            # rows with zero length: reduceat duplicates — recompute safely
+            if (np.diff(offsets) == 0).any():
+                changed = np.array(
+                    [int((out[offsets[i]:offsets[i + 1]]
+                          != flat[offsets[i]:offsets[i + 1]]).sum())
+                     for i in range(len(txt))], dtype=np.int64)
+            wm_arr = pa.array(np.where(wm < 0, None, wm).tolist(),
+                              type=pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [_as_plain(b.column(b.schema.get_field_index("doc_id")),
+                           pa.int64()),
+                 _as_plain(b.column(b.schema.get_field_index("source")),
+                           pa.string()),
+                 pa.array(np.diff(offsets), type=pa.int64()),
+                 pa.array(np.round(cov, 6), type=pa.float64()),
+                 wm_arr,
+                 pa.array(npass, type=pa.int32()),
+                 pa.array(changed, type=pa.int64())],
+                ["doc_id", "source", "n_out", "coverage", "wm_token",
+                 "pass_count", "changed_tokens"])
+
+    return df.mapInArrow(
+        fn, "doc_id long, source string, n_out long, coverage double, "
+            "wm_token int, pass_count int, changed_tokens long")

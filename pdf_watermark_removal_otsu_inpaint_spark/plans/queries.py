@@ -911,16 +911,16 @@ def q30(spark, sf_dir):
 
 @q("q40_repair_char_tokens")
 def q40(spark, sf_dir):
-    """Full fused detect+repair pipeline (K1+K2 multi-pass) over char-token
-    arrays from documents.text; exact parity vs reference_kernels is covered
-    by tests/test_engine_parity.py."""
-    from ..operators.repair import repair_sequences
+    """Full fused tokenize+detect+repair pipeline (K1+K2 multi-pass) over
+    documents.text via the batch-vectorized mapInArrow kernel (the UTF-8
+    string buffer is read as the char-token array zero-copy); exact parity
+    vs the split+ascii+pandas path and reference_kernels is covered by
+    tests/test_repair_vectorized.py."""
+    from ..operators.repair_vectorized import repair_text_arrow
     from ..params import DEFAULT_PARAMS
-    df = _char_tokens(spark, sf_dir).withColumn("seq_no", F.lit(0).cast("long"))
-    params = DEFAULT_PARAMS.with_(passes=2, min_run=5)
-    out = repair_sequences(df.select("doc_id", "seq_no", "source", "tokens"),
-                           params)
-    return out.select("doc_id", "source", F.size("tokens").alias("n_out"),
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out = repair_text_arrow(docs, DEFAULT_PARAMS.with_(passes=2, min_run=5))
+    return out.select("doc_id", "source", "n_out",
                       F.round("coverage", 6).alias("coverage"), "wm_token",
                       "pass_count")
 

@@ -122,3 +122,28 @@ def test_empty_and_tiny_rows(spark):
     a = {r.doc_id: r.tokens for r in repair_sequences(df).collect()}
     b = {r.doc_id: r.tokens for r in repair_sequences_arrow(df).collect()}
     assert a == b == {"d0": [], "d1": [200], "d2": [255] * 10}
+
+
+def test_fused_text_path_matches_split_ascii(spark):
+    """repair_text_arrow (zero-copy UTF-8 tokenization) == the split+ascii
+    + per-row pandas path on the real documents table."""
+    from pyspark.sql import functions as F
+
+    from pdf_watermark_removal_otsu_inpaint_spark.operators.repair import (
+        repair_sequences)
+    from pdf_watermark_removal_otsu_inpaint_spark.operators.repair_vectorized import (
+        repair_text_arrow)
+    from pdf_watermark_removal_otsu_inpaint_spark.plans.queries import (
+        _char_tokens)
+    sf = "/root/testdata/sf0.001"
+    params = DEFAULT_PARAMS.with_(passes=2, min_run=5)
+    docs = spark.read.parquet(f"{sf}/documents.parquet") \
+        .select("doc_id", "source", "text")
+    new = {r.doc_id: (round(r.coverage, 6), r.wm_token, r.pass_count)
+           for r in repair_text_arrow(docs, params).collect()}
+    old_df = repair_sequences(
+        _char_tokens(spark, sf).withColumn("seq_no", F.lit(0).cast("long")),
+        params)
+    old = {r.doc_id: (round(r.coverage, 6), r.wm_token, r.pass_count)
+           for r in old_df.collect()}
+    assert new == old and len(new) > 0
