@@ -111,3 +111,14 @@ def qualifies_as_watermark(value: Column, coverage_pct: Column) -> Column:
 def dynamic_radius(coverage: Column, base_radius: Column, strength: Column) -> Column:
     return F.greatest(F.lit(2),
                       (base_radius + coverage * 10.0 * strength).cast("int"))
+
+
+# --- per-row repair status (A6; reference per-page status records,
+#     stats.py:59-65: success / partial / skipped) ---------------------------
+def repair_status(coverage: Column, pass_count: Column,
+                  max_passes: Column) -> Column:
+    """skipped: nothing detected; success: converged before the pass limit
+    (the mask emptied); partial: still detecting at the last allowed pass."""
+    return (F.when(pass_count == 0, "skipped")
+            .when(pass_count < max_passes, "success")
+            .otherwise("partial"))

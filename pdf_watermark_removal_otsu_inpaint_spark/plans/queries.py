@@ -1295,3 +1295,16 @@ def q46(spark, sf_dir):
             .where(F.col("rnk") <= 2)
             .select("q_id", "cand_id", F.round("cos", 6).alias("cos_sim"),
                     "rnk"))
+
+
+@q("q47_repair_status_summary")
+def q47(spark, sf_dir):
+    """A6: per-status accounting of the repair pipeline (reference per-page
+    success/partial/skipped records, stats.py:59-65, :205-245)."""
+    from ..functions.mask_exprs import repair_status
+    out = QUERIES["q40_repair_char_tokens"](spark, sf_dir)
+    status = repair_status(F.col("coverage"), F.col("pass_count"), F.lit(2))
+    return (out.withColumn("status", status)
+            .groupBy("source", "status").agg(
+                F.count("*").alias("n"),
+                F.round(F.avg("coverage"), 6).alias("avg_coverage")))

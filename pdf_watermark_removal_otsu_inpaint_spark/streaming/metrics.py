@@ -42,3 +42,12 @@ class ProgressCapture(StreamingQueryListener):
 
     def input_rows(self) -> int:
         return sum(int(p.get("numInputRows", 0)) for p in self.progresses)
+
+    def observed(self, name: str) -> list[dict]:
+        """df.observe(...) metric rows captured per batch (A8)."""
+        out = []
+        for p in self.progresses:
+            m = p.get("observedMetrics", {}).get(name)
+            if m:
+                out.append(m)
+        return out

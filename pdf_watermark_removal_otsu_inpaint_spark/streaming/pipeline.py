@@ -147,6 +147,10 @@ def run_repair_pipeline(seq: DataFrame, out_dir: str, checkpoint_dir: str,
     points above. engine="arrow" swaps in the batch-vectorized mapInArrow
     kernel (same results, parity-tested). Returns the StreamingQuery."""
     sink = ExactlyOnceParquetSink(out_dir)
+    # A8 observability: per-batch ingest metrics surface in query progress
+    # (and the ProgressCapture listener) without a second aggregation
+    seq = seq.observe("ingest", F.count(F.lit(1)).alias("rows_in"),
+                      F.sum("n_tok").alias("tokens_in"))
 
     def process(batch_df, batch_id):
         if engine == "arrow":

@@ -374,3 +374,21 @@ def test_stateful_pipeline_resumes_from_checkpoint(spark, tmp_path):
     resumed = {(r.doc_id, r.seq_no): r.tokens
                for r in sink_b.read_committed(spark).collect()}
     assert resumed == base
+
+
+def test_observe_metrics_surface_in_progress(spark, tmp_path):
+    """A8: df.observe ingest metrics appear in streaming progress."""
+    import json as _json
+    d = str(tmp_path / "seq")
+    df = sequences_df(spark, 20, seed=17)
+    write_batches(spark, [df], d)
+    q = run_repair_pipeline(file_stream(spark, d), str(tmp_path / "out"),
+                            str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    rows_in = 0
+    for p in q.recentProgress:
+        pj = p if isinstance(p, dict) else _json.loads(p.json)
+        m = pj.get("observedMetrics", {}).get("ingest")
+        if m:
+            rows_in += int(m["rows_in"])
+    assert rows_in == 20
