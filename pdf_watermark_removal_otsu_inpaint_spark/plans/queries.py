@@ -1308,3 +1308,97 @@ def q47(spark, sf_dir):
             .groupBy("source", "status").agg(
                 F.count("*").alias("n"),
                 F.round(F.avg("coverage"), 6).alias("avg_coverage")))
+
+
+@q("q48_relational_detect_mask", """
+WITH pos AS (
+  SELECT vec_id, i AS p,
+         CAST(LEAST(255, GREATEST(0,
+           FLOOR(CAST(embedding[i + 1] AS DOUBLE)*128+128))) AS INT) AS g
+  FROM embeddings CROSS JOIN range(64) t(i)),
+raw AS (SELECT vec_id, p FROM pos WHERE ABS(g - 200) < 30 AND g <= 250),
+core AS (SELECT vec_id, p FROM pos WHERE g < 140),
+core_sp AS (
+  SELECT vec_id, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT vec_id, p, p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
+    FROM core) x GROUP BY vec_id, isl),
+core_d AS (
+  SELECT DISTINCT vec_id,
+         UNNEST(generate_series(GREATEST(s-3,0), LEAST(e+3,64)-1)) AS p
+  FROM core_sp),
+cd_sp AS (
+  SELECT vec_id, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT vec_id, p, p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
+    FROM core_d) x GROUP BY vec_id, isl),
+prot_e AS (
+  SELECT vec_id, s, CASE WHEN e=64 THEN 64 ELSE e-1 END AS e FROM cd_sp
+  WHERE s < CASE WHEN e=64 THEN 64 ELSE e-1 END),
+prot AS (
+  SELECT DISTINCT vec_id,
+         UNNEST(generate_series(GREATEST(s-1,0), LEAST(e,64)-1)) AS p
+  FROM prot_e),
+protected AS (
+  SELECT r.vec_id, r.p FROM raw r
+  LEFT JOIN prot t ON t.vec_id = r.vec_id AND t.p = r.p
+  WHERE t.p IS NULL),
+m1_sp AS (
+  SELECT vec_id, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT vec_id, p, p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
+    FROM protected) x GROUP BY vec_id, isl),
+m1_e AS (
+  SELECT vec_id,
+         CASE WHEN s=0 THEN 0 ELSE s+1 END AS s,
+         CASE WHEN e=64 THEN 64 ELSE e-1 END AS e
+  FROM m1_sp
+  WHERE (CASE WHEN s=0 THEN 0 ELSE s+1 END)
+      < (CASE WHEN e=64 THEN 64 ELSE e-1 END)),
+m1 AS (
+  SELECT DISTINCT vec_id,
+         UNNEST(generate_series(GREATEST(s-1,0), LEAST(e+1,64)-1)) AS p
+  FROM m1_e),
+m2_sp AS (
+  SELECT vec_id, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT vec_id, p, p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
+    FROM m1) x GROUP BY vec_id, isl),
+m2_d AS (
+  SELECT DISTINCT vec_id,
+         UNNEST(generate_series(GREATEST(s-2,0), LEAST(e+2,64)-1)) AS p
+  FROM m2_sp),
+m3_sp AS (
+  SELECT vec_id, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT vec_id, p, p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
+    FROM m2_d) x GROUP BY vec_id, isl),
+m3_e AS (
+  SELECT vec_id,
+         CASE WHEN s=0 THEN 0 ELSE s+2 END AS s,
+         CASE WHEN e=64 THEN 64 ELSE e-2 END AS e
+  FROM m3_sp
+  WHERE (CASE WHEN s=0 THEN 0 ELSE s+2 END)
+      < (CASE WHEN e=64 THEN 64 ELSE e-2 END)),
+m3 AS (SELECT DISTINCT vec_id, UNNEST(generate_series(s, e-1)) AS p FROM m3_e),
+runs AS (
+  SELECT vec_id, MIN(p) AS s, MAX(p)+1 AS e, COUNT(*) AS ln FROM (
+    SELECT vec_id, p, p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
+    FROM m3) x GROUP BY vec_id, isl)
+SELECT vec_id, CAST(SUM(ln) AS BIGINT) AS masked_positions
+FROM runs WHERE ln BETWEEN 4 AND 64 GROUP BY vec_id
+""")
+def q48(spark, sf_dir):
+    """Cross-paradigm oracle for the FULL detection pipeline: the Spark side
+    runs the NumPy kernel (Arrow UDF: raw mask -> background + text-protect
+    -> open x1 / close x2 morphology -> run filter); the DuckDB side is a
+    pure-SQL gaps-and-islands re-implementation of the same span arithmetic.
+    Equality of per-row masked-position counts pins the kernel's mask
+    semantics against an independent relational formulation (wm=200, tol=30,
+    k=3, run bounds 4..64 on 64-dim quantized embeddings)."""
+    from ..functions import mask_exprs as mxx
+    from ..operators.repair import make_detect_udf
+    from ..params import DEFAULT_PARAMS
+    df = _emb_tokens(spark, sf_dir)
+    params = DEFAULT_PARAMS.with_(min_run=4, max_run=64)
+    d = make_detect_udf(params)(F.col("tokens"), F.lit(200))
+    out = (df.withColumn("_d", d)
+           .select("vec_id",
+                   mxx.mask_count(F.col("_d.mask")).alias("masked_positions"))
+           .where(F.col("masked_positions") > 0))
+    return out
