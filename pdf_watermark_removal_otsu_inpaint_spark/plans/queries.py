@@ -1402,3 +1402,137 @@ def q48(spark, sf_dir):
                    mxx.mask_count(F.col("_d.mask")).alias("masked_positions"))
            .where(F.col("masked_positions") > 0))
     return out
+
+
+@q("q49_relational_repair", """
+WITH pos AS (
+  SELECT vec_id, i AS p,
+         CAST(LEAST(255, GREATEST(0,
+           FLOOR(CAST(embedding[i + 1] AS DOUBLE)*128+128))) AS INT) AS g
+  FROM embeddings CROSS JOIN range(64) t(i)),
+raw AS (SELECT vec_id, p FROM pos WHERE ABS(g - 200) < 30 AND g <= 250),
+core AS (SELECT vec_id, p FROM pos WHERE g < 140),
+core_sp AS (
+  SELECT vec_id, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT vec_id, p, p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
+    FROM core) x GROUP BY vec_id, isl),
+core_d AS (
+  SELECT DISTINCT vec_id,
+         UNNEST(generate_series(GREATEST(s-3,0), LEAST(e+3,64)-1)) AS p
+  FROM core_sp),
+cd_sp AS (
+  SELECT vec_id, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT vec_id, p, p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
+    FROM core_d) x GROUP BY vec_id, isl),
+prot_e AS (
+  SELECT vec_id, s, CASE WHEN e=64 THEN 64 ELSE e-1 END AS e FROM cd_sp
+  WHERE s < CASE WHEN e=64 THEN 64 ELSE e-1 END),
+prot AS (
+  SELECT DISTINCT vec_id,
+         UNNEST(generate_series(GREATEST(s-1,0), LEAST(e,64)-1)) AS p
+  FROM prot_e),
+protected AS (
+  SELECT r.vec_id, r.p FROM raw r
+  LEFT JOIN prot t ON t.vec_id = r.vec_id AND t.p = r.p
+  WHERE t.p IS NULL),
+m1_sp AS (
+  SELECT vec_id, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT vec_id, p, p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
+    FROM protected) x GROUP BY vec_id, isl),
+m1_e AS (
+  SELECT vec_id,
+         CASE WHEN s=0 THEN 0 ELSE s+1 END AS s,
+         CASE WHEN e=64 THEN 64 ELSE e-1 END AS e
+  FROM m1_sp
+  WHERE (CASE WHEN s=0 THEN 0 ELSE s+1 END)
+      < (CASE WHEN e=64 THEN 64 ELSE e-1 END)),
+m1 AS (
+  SELECT DISTINCT vec_id,
+         UNNEST(generate_series(GREATEST(s-1,0), LEAST(e+1,64)-1)) AS p
+  FROM m1_e),
+m2_sp AS (
+  SELECT vec_id, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT vec_id, p, p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
+    FROM m1) x GROUP BY vec_id, isl),
+m2_d AS (
+  SELECT DISTINCT vec_id,
+         UNNEST(generate_series(GREATEST(s-2,0), LEAST(e+2,64)-1)) AS p
+  FROM m2_sp),
+m3_sp AS (
+  SELECT vec_id, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT vec_id, p, p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
+    FROM m2_d) x GROUP BY vec_id, isl),
+m3_e AS (
+  SELECT vec_id,
+         CASE WHEN s=0 THEN 0 ELSE s+2 END AS s,
+         CASE WHEN e=64 THEN 64 ELSE e-2 END AS e
+  FROM m3_sp
+  WHERE (CASE WHEN s=0 THEN 0 ELSE s+2 END)
+      < (CASE WHEN e=64 THEN 64 ELSE e-2 END)),
+m3 AS (SELECT DISTINCT vec_id, UNNEST(generate_series(s, e-1)) AS p FROM m3_e),
+runs AS (
+  SELECT vec_id, MIN(p) AS s, MAX(p)+1 AS e, COUNT(*) AS ln FROM (
+    SELECT vec_id, p, p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
+    FROM m3) x GROUP BY vec_id, isl)
+
+, kept AS (
+  SELECT vec_id, s, e FROM runs WHERE ln BETWEEN 4 AND 64),
+covs AS (
+  SELECT vec_id, SUM(e - s) AS masked FROM kept GROUP BY vec_id),
+rad AS (
+  SELECT vec_id,
+         GREATEST(2, CAST(FLOOR(2 + (CAST(masked AS DOUBLE)/64)*10*1.0)
+                          AS BIGINT)) AS radius
+  FROM covs),
+fills AS (
+  SELECT k.vec_id, u.p,
+    (SELECT g FROM pos WHERE pos.vec_id = k.vec_id AND pos.p = k.s - 1) AS L,
+    (SELECT g FROM pos WHERE pos.vec_id = k.vec_id AND pos.p = k.e) AS R,
+    k.s, k.e, r.radius
+  FROM kept k
+  JOIN rad r ON r.vec_id = k.vec_id
+  CROSS JOIN UNNEST(generate_series(k.s, k.e - 1)) AS u(p)),
+vals AS (
+  SELECT vec_id, p,
+    CASE
+      WHEN L IS NULL AND R IS NULL THEN NULL
+      WHEN L IS NULL THEN R
+      WHEN R IS NULL THEN L
+      WHEN LEAST(p - (s - 1), e - p) <= radius
+        THEN (L * (e - p) + R * (p - (s - 1))) // ((p - (s - 1)) + (e - p))
+      WHEN (p - (s - 1)) < (e - p) THEN L
+      WHEN (e - p) < (p - (s - 1)) THEN R
+      ELSE (L + R) // 2
+    END AS fill
+  FROM fills),
+repaired AS (
+  SELECT pos.vec_id, pos.p, COALESCE(v.fill, pos.g) AS val
+  FROM pos LEFT JOIN vals v ON v.vec_id = pos.vec_id AND v.p = pos.p)
+SELECT vec_id, CAST(SUM(val) AS BIGINT) AS token_sum,
+       CAST(SUM(val * (p + 1)) AS BIGINT) AS weighted_sum
+FROM repaired GROUP BY vec_id
+""")
+def q49(spark, sf_dir):
+    """Cross-paradigm oracle for the FULL single-pass repair: the Spark side
+    runs the kernel chain (detect UDF -> K2 inpaint+blend UDF); the DuckDB
+    side re-derives the mask via gaps-and-islands morphology (q48) and then
+    computes the distance-weighted / plateau fill values with pure integer
+    SQL. Per-row token sums and position-weighted sums must match — a
+    value-level relational check of the inpaint kernel itself."""
+    from ..operators.repair import make_apply_mask_udf, make_detect_udf
+    from ..params import DEFAULT_PARAMS
+    df = _emb_tokens(spark, sf_dir)
+    params = DEFAULT_PARAMS.with_(min_run=4, max_run=64)
+    d = make_detect_udf(params)(F.col("tokens"), F.lit(200))
+    rep = make_apply_mask_udf(params)(F.col("tokens"), F.col("_d.mask"))
+    weighted = F.aggregate(
+        F.zip_with(F.col("repaired"),
+                   F.sequence(F.lit(1), F.lit(64)),
+                   lambda v, i: v.cast("long") * i.cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    total = F.aggregate(F.col("repaired"), F.lit(0).cast("long"),
+                        lambda acc, x: acc + x.cast("long"))
+    return (df.withColumn("_d", d)
+            .withColumn("repaired", rep)
+            .select("vec_id", total.alias("token_sum"),
+                    weighted.alias("weighted_sum")))
