@@ -1316,59 +1316,39 @@ WITH pos AS (
          CAST(LEAST(255, GREATEST(0,
            FLOOR(CAST(embedding[i + 1] AS DOUBLE)*128+128))) AS INT) AS g
   FROM embeddings CROSS JOIN range(64) t(i)),
-raw AS (SELECT vec_id, p FROM pos WHERE ABS(g - 200) < 30 AND g <= 250),
-core AS (SELECT vec_id, p FROM pos WHERE g < 140),
-core_sp AS (
-  SELECT vec_id, MIN(p) AS s, MAX(p)+1 AS e FROM (
-    SELECT vec_id, p, p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
-    FROM core) x GROUP BY vec_id, isl),
-core_d AS (
-  SELECT DISTINCT vec_id,
-         UNNEST(generate_series(GREATEST(s-3,0), LEAST(e+3,64)-1)) AS p
-  FROM core_sp),
-cd_sp AS (
-  SELECT vec_id, MIN(p) AS s, MAX(p)+1 AS e FROM (
-    SELECT vec_id, p, p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
-    FROM core_d) x GROUP BY vec_id, isl),
-prot_e AS (
-  SELECT vec_id, s, CASE WHEN e=64 THEN 64 ELSE e-1 END AS e FROM cd_sp
-  WHERE s < CASE WHEN e=64 THEN 64 ELSE e-1 END),
-prot AS (
-  SELECT DISTINCT vec_id,
-         UNNEST(generate_series(GREATEST(s-1,0), LEAST(e,64)-1)) AS p
-  FROM prot_e),
-protected AS (
-  SELECT r.vec_id, r.p FROM raw r
-  LEFT JOIN prot t ON t.vec_id = r.vec_id AND t.p = r.p
-  WHERE t.p IS NULL),
+raw AS (  -- wm=128 is text-like (100..150): the guard skips text protection
+  SELECT vec_id, p FROM pos WHERE ABS(g - 128) < 30 AND g <= 250),
 m1_sp AS (
   SELECT vec_id, MIN(p) AS s, MAX(p)+1 AS e FROM (
-    SELECT vec_id, p, p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
-    FROM protected) x GROUP BY vec_id, isl),
-m1_e AS (
+    SELECT vec_id, p,
+           p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
+    FROM raw) x GROUP BY vec_id, isl),
+m1_e AS (  -- open x1: erode k=3 (border-aware) ...
   SELECT vec_id,
          CASE WHEN s=0 THEN 0 ELSE s+1 END AS s,
          CASE WHEN e=64 THEN 64 ELSE e-1 END AS e
   FROM m1_sp
   WHERE (CASE WHEN s=0 THEN 0 ELSE s+1 END)
       < (CASE WHEN e=64 THEN 64 ELSE e-1 END)),
-m1 AS (
+m1 AS (  -- ... then dilate k=3
   SELECT DISTINCT vec_id,
          UNNEST(generate_series(GREATEST(s-1,0), LEAST(e+1,64)-1)) AS p
   FROM m1_e),
 m2_sp AS (
   SELECT vec_id, MIN(p) AS s, MAX(p)+1 AS e FROM (
-    SELECT vec_id, p, p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
+    SELECT vec_id, p,
+           p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
     FROM m1) x GROUP BY vec_id, isl),
-m2_d AS (
+m2_d AS (  -- close x2: dilate by 2 ...
   SELECT DISTINCT vec_id,
          UNNEST(generate_series(GREATEST(s-2,0), LEAST(e+2,64)-1)) AS p
   FROM m2_sp),
 m3_sp AS (
   SELECT vec_id, MIN(p) AS s, MAX(p)+1 AS e FROM (
-    SELECT vec_id, p, p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
+    SELECT vec_id, p,
+           p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
     FROM m2_d) x GROUP BY vec_id, isl),
-m3_e AS (
+m3_e AS (  -- ... then erode by 2 (border-aware)
   SELECT vec_id,
          CASE WHEN s=0 THEN 0 ELSE s+2 END AS s,
          CASE WHEN e=64 THEN 64 ELSE e-2 END AS e
@@ -1376,32 +1356,34 @@ m3_e AS (
   WHERE (CASE WHEN s=0 THEN 0 ELSE s+2 END)
       < (CASE WHEN e=64 THEN 64 ELSE e-2 END)),
 m3 AS (SELECT DISTINCT vec_id, UNNEST(generate_series(s, e-1)) AS p FROM m3_e),
-runs AS (
+runs AS (  -- R1: run-length filter 2..64
   SELECT vec_id, MIN(p) AS s, MAX(p)+1 AS e, COUNT(*) AS ln FROM (
-    SELECT vec_id, p, p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
+    SELECT vec_id, p,
+           p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
     FROM m3) x GROUP BY vec_id, isl)
 SELECT vec_id, CAST(SUM(ln) AS BIGINT) AS masked_positions
-FROM runs WHERE ln BETWEEN 4 AND 64 GROUP BY vec_id
+FROM runs WHERE ln BETWEEN 2 AND 64 GROUP BY vec_id
 """)
 def q48(spark, sf_dir):
     """Cross-paradigm oracle for the FULL detection pipeline: the Spark side
-    runs the NumPy kernel (Arrow UDF: raw mask -> background + text-protect
-    -> open x1 / close x2 morphology -> run filter); the DuckDB side is a
+    runs the NumPy kernel (Arrow UDF: raw mask -> background protection ->
+    open x1 / close x2 morphology -> run filter); the DuckDB side is a
     pure-SQL gaps-and-islands re-implementation of the same span arithmetic.
-    Equality of per-row masked-position counts pins the kernel's mask
-    semantics against an independent relational formulation (wm=200, tol=30,
-    k=3, run bounds 4..64 on 64-dim quantized embeddings)."""
+    wm=128 lies in the text-like band, so the guard skips text protection on
+    BOTH sides (watermark_detector.py:463) and every row carries a
+    non-empty mask at sf0.01. Equality of per-row masked-position counts
+    pins the kernel's mask semantics against an independent relational
+    formulation."""
     from ..functions import mask_exprs as mxx
     from ..operators.repair import make_detect_udf
     from ..params import DEFAULT_PARAMS
     df = _emb_tokens(spark, sf_dir)
-    params = DEFAULT_PARAMS.with_(min_run=4, max_run=64)
-    d = make_detect_udf(params)(F.col("tokens"), F.lit(200))
-    out = (df.withColumn("_d", d)
-           .select("vec_id",
-                   mxx.mask_count(F.col("_d.mask")).alias("masked_positions"))
-           .where(F.col("masked_positions") > 0))
-    return out
+    params = DEFAULT_PARAMS.with_(min_run=2, max_run=64)
+    d = make_detect_udf(params)(F.col("tokens"), F.lit(128))
+    return (df.withColumn("_d", d)
+            .select("vec_id",
+                    mxx.mask_count(F.col("_d.mask")).alias("masked_positions"))
+            .where(F.col("masked_positions") > 0))
 
 
 @q("q49_relational_repair", """
@@ -1410,59 +1392,39 @@ WITH pos AS (
          CAST(LEAST(255, GREATEST(0,
            FLOOR(CAST(embedding[i + 1] AS DOUBLE)*128+128))) AS INT) AS g
   FROM embeddings CROSS JOIN range(64) t(i)),
-raw AS (SELECT vec_id, p FROM pos WHERE ABS(g - 200) < 30 AND g <= 250),
-core AS (SELECT vec_id, p FROM pos WHERE g < 140),
-core_sp AS (
-  SELECT vec_id, MIN(p) AS s, MAX(p)+1 AS e FROM (
-    SELECT vec_id, p, p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
-    FROM core) x GROUP BY vec_id, isl),
-core_d AS (
-  SELECT DISTINCT vec_id,
-         UNNEST(generate_series(GREATEST(s-3,0), LEAST(e+3,64)-1)) AS p
-  FROM core_sp),
-cd_sp AS (
-  SELECT vec_id, MIN(p) AS s, MAX(p)+1 AS e FROM (
-    SELECT vec_id, p, p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
-    FROM core_d) x GROUP BY vec_id, isl),
-prot_e AS (
-  SELECT vec_id, s, CASE WHEN e=64 THEN 64 ELSE e-1 END AS e FROM cd_sp
-  WHERE s < CASE WHEN e=64 THEN 64 ELSE e-1 END),
-prot AS (
-  SELECT DISTINCT vec_id,
-         UNNEST(generate_series(GREATEST(s-1,0), LEAST(e,64)-1)) AS p
-  FROM prot_e),
-protected AS (
-  SELECT r.vec_id, r.p FROM raw r
-  LEFT JOIN prot t ON t.vec_id = r.vec_id AND t.p = r.p
-  WHERE t.p IS NULL),
+raw AS (  -- wm=128 is text-like (100..150): the guard skips text protection
+  SELECT vec_id, p FROM pos WHERE ABS(g - 128) < 30 AND g <= 250),
 m1_sp AS (
   SELECT vec_id, MIN(p) AS s, MAX(p)+1 AS e FROM (
-    SELECT vec_id, p, p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
-    FROM protected) x GROUP BY vec_id, isl),
-m1_e AS (
+    SELECT vec_id, p,
+           p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
+    FROM raw) x GROUP BY vec_id, isl),
+m1_e AS (  -- open x1: erode k=3 (border-aware) ...
   SELECT vec_id,
          CASE WHEN s=0 THEN 0 ELSE s+1 END AS s,
          CASE WHEN e=64 THEN 64 ELSE e-1 END AS e
   FROM m1_sp
   WHERE (CASE WHEN s=0 THEN 0 ELSE s+1 END)
       < (CASE WHEN e=64 THEN 64 ELSE e-1 END)),
-m1 AS (
+m1 AS (  -- ... then dilate k=3
   SELECT DISTINCT vec_id,
          UNNEST(generate_series(GREATEST(s-1,0), LEAST(e+1,64)-1)) AS p
   FROM m1_e),
 m2_sp AS (
   SELECT vec_id, MIN(p) AS s, MAX(p)+1 AS e FROM (
-    SELECT vec_id, p, p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
+    SELECT vec_id, p,
+           p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
     FROM m1) x GROUP BY vec_id, isl),
-m2_d AS (
+m2_d AS (  -- close x2: dilate by 2 ...
   SELECT DISTINCT vec_id,
          UNNEST(generate_series(GREATEST(s-2,0), LEAST(e+2,64)-1)) AS p
   FROM m2_sp),
 m3_sp AS (
   SELECT vec_id, MIN(p) AS s, MAX(p)+1 AS e FROM (
-    SELECT vec_id, p, p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
+    SELECT vec_id, p,
+           p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
     FROM m2_d) x GROUP BY vec_id, isl),
-m3_e AS (
+m3_e AS (  -- ... then erode by 2 (border-aware)
   SELECT vec_id,
          CASE WHEN s=0 THEN 0 ELSE s+2 END AS s,
          CASE WHEN e=64 THEN 64 ELSE e-2 END AS e
@@ -1470,13 +1432,13 @@ m3_e AS (
   WHERE (CASE WHEN s=0 THEN 0 ELSE s+2 END)
       < (CASE WHEN e=64 THEN 64 ELSE e-2 END)),
 m3 AS (SELECT DISTINCT vec_id, UNNEST(generate_series(s, e-1)) AS p FROM m3_e),
-runs AS (
+runs AS (  -- R1: run-length filter 2..64
   SELECT vec_id, MIN(p) AS s, MAX(p)+1 AS e, COUNT(*) AS ln FROM (
-    SELECT vec_id, p, p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
+    SELECT vec_id, p,
+           p - ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY p) AS isl
     FROM m3) x GROUP BY vec_id, isl)
-
 , kept AS (
-  SELECT vec_id, s, e FROM runs WHERE ln BETWEEN 4 AND 64),
+  SELECT vec_id, s, e FROM runs WHERE ln BETWEEN 2 AND 64),
 covs AS (
   SELECT vec_id, SUM(e - s) AS masked FROM kept GROUP BY vec_id),
 rad AS (
@@ -1515,15 +1477,16 @@ FROM repaired GROUP BY vec_id
 def q49(spark, sf_dir):
     """Cross-paradigm oracle for the FULL single-pass repair: the Spark side
     runs the kernel chain (detect UDF -> K2 inpaint+blend UDF); the DuckDB
-    side re-derives the mask via gaps-and-islands morphology (q48) and then
+    side re-derives the mask via gaps-and-islands morphology (q48) and
     computes the distance-weighted / plateau fill values with pure integer
     SQL. Per-row token sums and position-weighted sums must match — a
-    value-level relational check of the inpaint kernel itself."""
+    value-level relational check of the inpaint kernel on non-empty masks
+    for every row."""
     from ..operators.repair import make_apply_mask_udf, make_detect_udf
     from ..params import DEFAULT_PARAMS
     df = _emb_tokens(spark, sf_dir)
-    params = DEFAULT_PARAMS.with_(min_run=4, max_run=64)
-    d = make_detect_udf(params)(F.col("tokens"), F.lit(200))
+    params = DEFAULT_PARAMS.with_(min_run=2, max_run=64)
+    d = make_detect_udf(params)(F.col("tokens"), F.lit(128))
     rep = make_apply_mask_udf(params)(F.col("tokens"), F.col("_d.mask"))
     weighted = F.aggregate(
         F.zip_with(F.col("repaired"),
