@@ -392,3 +392,87 @@ def test_observe_metrics_surface_in_progress(spark, tmp_path):
         if m:
             rows_in += int(m["rows_in"])
     assert rows_in == 20
+
+
+def _tws_available(spark, tmp_path) -> bool:
+    """transformWithStateInPandas needs its driver-side python worker, which
+    crashes in this image (minimal example fails with XXKST before user code
+    runs) — probe once and skip, like the Iceberg jar gate."""
+    import glob
+    import pandas as _pd
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    class P(StatefulProcessor):
+        def init(self, handle):
+            self.s = handle.getValueState(
+                "c", StructType([StructField("c", IntegerType(), True)]))
+
+        def handleInputRows(self, key, rows, timerValues):
+            c = self.s.get()[0] if self.s.exists() else 0
+            for pdf in rows:
+                c += len(pdf)
+            self.s.update((c,))
+            yield _pd.DataFrame({"k": [key[0]], "c": [c]})
+
+        def close(self):
+            pass
+
+    d = str(tmp_path / "tws_probe")
+    os.makedirs(d, exist_ok=True)
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    sub = d + "/_s"
+    df.coalesce(1).write.mode("overwrite").parquet(sub)
+    os.replace(glob.glob(sub + "/part-*.parquet")[0], d + "/b0.parquet")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        q = (spark.readStream.schema("k string, v int").parquet(d)
+             .groupBy("k")
+             .transformWithStateInPandas(P(), outputStructType="k string, c int",
+                                         outputMode="append", timeMode="none")
+             .writeStream.format("memory").queryName("tws_probe")
+             .outputMode("append").start())
+        q.processAllAvailable()
+        q.stop()
+        return True
+    except Exception:
+        return False
+
+
+def test_stateful_detect_v2_matches_v1(spark, tmp_path):
+    """X5 on the Spark 4 state API v2 (transformWithStateInPandas +
+    RocksDB state store) == the applyInPandasWithState implementation."""
+    import datetime as dt
+
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.state_v2 import (
+        detect_stream_stateful_v2)
+    if not _tws_available(spark, tmp_path):
+        pytest.skip("transformWithStateInPandas driver worker crashes in "
+                    "this image (XXKST on a minimal example)")
+    d = str(tmp_path / "seq")
+    n = 2000
+    detectable = np.full(n, 255, dtype=np.int32)
+    detectable[100:460] = 200
+    ambiguous = np.full(n, 255, dtype=np.int32)
+    ambiguous[100:700] = 200
+    rows1 = [("docA", detectable.tolist(), n, "web",
+              dt.datetime(2026, 1, 1, 0, 0, 10), 0)]
+    rows2 = [("docA", ambiguous.tolist(), n, "web",
+              dt.datetime(2026, 1, 1, 0, 0, 20), 1)]
+    write_batches(spark, [spark.createDataFrame(rows1, SEQ_SCHEMA),
+                          spark.createDataFrame(rows2, SEQ_SCHEMA)], d)
+    stream = file_stream(spark, d, max_files_per_trigger=1)
+    q = (detect_stream_stateful_v2(stream)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("stateful_v2").start())
+    q.processAllAvailable()
+    q.stop()
+    out = {r.seq_no: r for r in spark.sql("SELECT * FROM stateful_v2").collect()}
+    assert out[0].wm_token == 200 and not out[0].from_state
+    assert out[1].wm_token == 200 and out[1].from_state
+    exp_mask, _ = rk.detect_refine(ambiguous, 200)
+    assert out[1].mask == exp_mask.tolist()
