@@ -476,3 +476,21 @@ def test_stateful_detect_v2_matches_v1(spark, tmp_path):
     assert out[1].wm_token == 200 and out[1].from_state
     exp_mask, _ = rk.detect_refine(ambiguous, 200)
     assert out[1].mask == exp_mask.tolist()
+
+
+def test_rate_stream_produces_sequences(spark):
+    """stream_smoke (FIXTURES §4): the rate-source synthetic feed yields
+    schema-correct sequence rows that flow through the windowed histogram."""
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.pipeline import (
+        rate_stream, windowed_hist_stream)
+    seq = rate_stream(spark, rows_per_sec=200, n_tok=256)
+    q = (windowed_hist_stream(seq, "10 seconds", watermark="1 minute")
+         .writeStream.outputMode("complete")
+         .format("memory").queryName("rate_smoke").start())
+    deadline = time.time() + 45
+    rows = 0
+    while time.time() < deadline and rows == 0:
+        time.sleep(2)
+        rows = spark.sql("SELECT count(*) FROM rate_smoke").collect()[0][0]
+    q.stop()
+    assert rows > 0
