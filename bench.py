@@ -110,8 +110,8 @@ def exactly_once_secs(spark) -> float:
     import shutil as _sh
     import tempfile
 
-    from pdf_watermark_removal_otsu_inpaint_spark.operators.repair import (
-        repair_sequences_packed)
+    from pdf_watermark_removal_otsu_inpaint_spark.operators.repair_vectorized import (
+        repair_sequences_arrow_packed)
     from pdf_watermark_removal_otsu_inpaint_spark.params import DEFAULT_PARAMS
     from pdf_watermark_removal_otsu_inpaint_spark.streaming.sink import (
         ExactlyOnceParquetSink)
@@ -126,7 +126,8 @@ def exactly_once_secs(spark) -> float:
               .parquet(f"{BENCH_INPUT}/packed"))
     t0 = time.perf_counter()
     q = (stream.writeStream
-         .foreachBatch(lambda b, i: sink(repair_sequences_packed(b, params), i))
+         .foreachBatch(
+             lambda b, i: sink(repair_sequences_arrow_packed(b, params), i))
          .option("checkpointLocation", ck)
          .trigger(availableNow=True).start())
     q.awaitTermination()
