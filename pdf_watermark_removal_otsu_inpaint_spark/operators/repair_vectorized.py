@@ -244,19 +244,44 @@ def _as_plain(col, typ):
 # ---------------------------------------------------------------------------
 # mapInArrow operator: zero-copy in and out for both physical layouts.
 # ---------------------------------------------------------------------------
-REPAIR_ARROW_SCHEMA = ("doc_id string, seq_no long, source string, "
-                       "tokens array<int>, coverage double, wm_token int, "
-                       "pass_count int")
+# Key columns passed through (same list as repair.repair_sequences, so the
+# arrow and pandas engine paths emit identical schemas and the sink's
+# masked_tokens lineage metric survives either path)
+_KEEP_COLS = ("doc_id", "seq_no", "event_ts", "source", "n_tok")
+
+
+def _passthrough(b, name):
+    """Input column -> plain (non-dictionary) array for re-emission.
+
+    Parquet scans hand mapInArrow dictionary-encoded strings, which Spark
+    cannot read back through a plain output schema — decode those; other
+    types pass through unchanged (their Arrow type already matches Spark's
+    expectation since Spark produced them)."""
+    import pyarrow as pa
+    col = b.column(b.schema.get_field_index(name))
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_dictionary(col.type):
+        col = col.dictionary_decode()
+    return col
 
 
 def repair_sequences_arrow(df, params: EngineParams = DEFAULT_PARAMS):
     """sequences -> repaired via mapInArrow (whole-batch vectorized kernel).
 
     Reads the ListArray's values/offsets buffers directly; emits a new
-    ListArray over the repaired flat buffer — no per-row Python objects."""
+    ListArray over the repaired flat buffer — no per-row Python objects.
+    Passes every present key column (doc_id/seq_no/event_ts/source/n_tok)
+    through so the output schema matches repair.repair_sequences exactly."""
     import pyarrow as pa
 
     p = params
+    keep = [c for c in _KEEP_COLS if c in df.columns]
+    in_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(
+        [f"{c} {in_types[c]}" for c in keep]
+        + ["tokens array<int>", "coverage double", "wm_token int",
+           "pass_count int"])
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
@@ -278,20 +303,12 @@ def repair_sequences_arrow(df, params: EngineParams = DEFAULT_PARAMS):
             wm_arr = pa.array(np.where(wm < 0, None, wm).tolist(),
                               type=pa.int32())
             yield pa.RecordBatch.from_arrays(
-                [_as_plain(b.column(b.schema.get_field_index("doc_id")),
-                           pa.string()),
-                 _as_plain(b.column(b.schema.get_field_index("seq_no")),
-                           pa.int64()),
-                 _as_plain(b.column(b.schema.get_field_index("source")),
-                           pa.string()),
-                 out_list,
-                 pa.array(cov, type=pa.float64()),
-                 wm_arr,
-                 pa.array(npass, type=pa.int32())],
-                ["doc_id", "seq_no", "source", "tokens", "coverage",
-                 "wm_token", "pass_count"])
+                [_passthrough(b, c) for c in keep]
+                + [out_list, pa.array(cov, type=pa.float64()), wm_arr,
+                   pa.array(npass, type=pa.int32())],
+                keep + ["tokens", "coverage", "wm_token", "pass_count"])
 
-    return df.mapInArrow(fn, REPAIR_ARROW_SCHEMA)
+    return df.mapInArrow(fn, out_schema)
 
 
 def repair_sequences_arrow_packed(df, params: EngineParams = DEFAULT_PARAMS):

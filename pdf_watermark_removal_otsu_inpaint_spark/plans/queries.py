@@ -218,7 +218,8 @@ sessions AS (
          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_no
   FROM flagged)
-SELECT user_id, session_no, COUNT(*) AS events_in_session,
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       COUNT(*) AS events_in_session,
        MIN(ts) AS session_start, MAX(ts) AS session_end
 FROM sessions GROUP BY user_id, session_no
 """)
@@ -602,7 +603,8 @@ def q21(spark, sf_dir):
 
 @q("q22_token_stats", """
 SELECT source, COUNT(*) AS n_docs,
-       SUM(len(regexp_split_to_array(text, '\\s+'))) AS total_words,
+       CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+         AS total_words,
        ROUND(AVG(n_chars), 4) AS avg_chars
 FROM documents GROUP BY source
 """)
@@ -950,13 +952,47 @@ def q42(spark, sf_dir):
                        "inpaint_strength", "passes")
 
 
-@q("q43_multimodal_features")
+@q("q43_multimodal_features", """
+WITH chars AS (
+  SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS i,
+         CAST(ascii(substring(text, CAST(t.i AS INT), 1)) AS DOUBLE) AS b,
+         CAST(length(text) AS BIGINT) AS n
+  FROM documents, UNNEST(generate_series(1, length(text))) AS t(i)),
+feats AS (
+  SELECT doc_id, MAX(n) AS n, (i * 8) // n AS bucket,
+         AVG(b) AS f
+  FROM chars GROUP BY doc_id, (i * 8) // n)
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       MAX(n) AS byte_len,
+       CAST(CEIL(MAX(n) / 100.0) AS INT) AS frames,
+       ROUND(MAX(CASE WHEN bucket = 0 THEN f END), 6) AS f0,
+       ROUND(MAX(CASE WHEN bucket = 1 THEN f END), 6) AS f1,
+       ROUND(MAX(CASE WHEN bucket = 2 THEN f END), 6) AS f2,
+       ROUND(MAX(CASE WHEN bucket = 3 THEN f END), 6) AS f3,
+       ROUND(MAX(CASE WHEN bucket = 4 THEN f END), 6) AS f4,
+       ROUND(MAX(CASE WHEN bucket = 5 THEN f END), 6) AS f5,
+       ROUND(MAX(CASE WHEN bucket = 6 THEN f END), 6) AS f6,
+       ROUND(MAX(CASE WHEN bucket = 7 THEN f END), 6) AS f7
+FROM feats GROUP BY doc_id
+""")
 def q43(spark, sf_dir):
     """Multimodal plumbing: binary payload + metadata struct -> mapInPandas
-    feature extraction (decode stubbed deterministically)."""
+    feature extraction (decode stubbed deterministically as byte-bucket
+    means). The registered query projects the feature vector to scalar
+    per-bucket columns so the result is canonicalizer-hashable; the DuckDB
+    oracle re-derives the same bucket means relationally (text is ASCII, so
+    char positions == utf-8 byte positions). Bucket sums are integer-valued
+    doubles (< 2^53), so means are bit-identical across engines and ROUND
+    (HALF_UP on both) agrees."""
     from ..sources.multimodal import extract_features, to_media_df
     docs = t(spark, sf_dir, "documents")
-    return extract_features(to_media_df(docs))
+    feat = extract_features(to_media_df(docs))
+    return feat.select(
+        "doc_id", "kind", "byte_len", "frames",
+        *[F.round(F.col("feature")[i], 6).alias(f"f{i}") for i in range(8)])
 
 
 @q("q31_cosine_near_dups", f"""

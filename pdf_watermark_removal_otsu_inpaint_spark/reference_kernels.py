@@ -398,11 +398,16 @@ def otsu_threshold(hist: np.ndarray) -> int:
     histogram (the reference's adaptive/threshold family re-expressed; also
     implemented as pure SQL window cumulative sums in operators/otsu.py so the
     DuckDB oracle can check it). Ties -> smallest t.
+
+    Degenerate convention (engine spec, aligned with otsu_sql+otsu_repair):
+    a histogram with no valid split — empty, or a single occupied bin, where
+    every candidate threshold leaves one class empty — returns 255, meaning
+    "mask nothing" under detect_mask_threshold (g > 255 is always False).
     """
     h = np.asarray(hist, dtype=np.float64)
     total = h.sum()
     if total <= 0:
-        return 0
+        return 255
     bins = np.arange(h.size, dtype=np.float64)
     w0 = np.cumsum(h)                 # class-0 weight for threshold t (bins <= t)
     m0 = np.cumsum(h * bins)
@@ -410,7 +415,10 @@ def otsu_threshold(hist: np.ndarray) -> int:
     mu_t = m0[-1]
     with np.errstate(divide="ignore", invalid="ignore"):
         between = (mu_t * w0 - m0) ** 2 / (w0 * w1)
-    between[~np.isfinite(between)] = -1.0
+    finite = np.isfinite(between)
+    if not finite.any():
+        return 255  # single occupied bin: no threshold has two non-empty classes
+    between[~finite] = -1.0
     return int(np.argmax(between))
 
 

@@ -68,7 +68,9 @@ def extract_features(media: DataFrame, n_feat: int = 8,
                 idx = (np.arange(samples.size) * n_feat) // samples.size
                 sums = np.bincount(idx, weights=samples, minlength=n_feat)
                 cnts = np.maximum(np.bincount(idx, minlength=n_feat), 1)
-                feats.append((sums / cnts).round(6).tolist())
+                # raw means (exact: integer-valued doubles); rounding is the
+                # caller's choice so query-level ROUND matches the oracle's
+                feats.append((sums / cnts).tolist())
                 frames.append(int(np.ceil(samples.size / frame_stride)))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],

@@ -178,22 +178,43 @@ def run_stateful_pipeline(seq: DataFrame, out_dir: str, checkpoint_dir: str,
     every row with its ORIGINAL event_ts, never older than the late-filter
     watermark). With the mask-side join watermark set equal to the sequence
     watermark, no emitted row can be late for the join, so the chain is
-    correct and the check is disabled for this session."""
-    seq.sparkSession.conf.set(
-        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
-        "false")
-    from .state import detect_stream_stateful
-    masks = detect_stream_stateful(seq, params)
-    joined = join_masks_with_sequences(seq, masks,
-                                       seq_watermark="10 minutes",
-                                       mask_watermark="10 minutes")
-    repaired = repair_joined(joined, params)
-    sink = ExactlyOnceParquetSink(out_dir)
-    writer = (repaired.writeStream.foreachBatch(sink)
-              .option("checkpointLocation", checkpoint_dir))
-    if trigger_once:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    correct and the check is disabled only for this query's lifetime: the
+    previous conf value is restored when the query terminates (a watcher
+    thread — the check is read lazily in the query thread, so restoring
+    immediately after start() would race), keeping the guard intact for
+    unrelated queries on the shared session."""
+    import threading
+
+    conf = seq.sparkSession.conf
+    key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    prev = conf.get(key, "true")
+    conf.set(key, "false")
+    try:
+        from .state import detect_stream_stateful
+        masks = detect_stream_stateful(seq, params)
+        joined = join_masks_with_sequences(seq, masks,
+                                           seq_watermark="10 minutes",
+                                           mask_watermark="10 minutes")
+        repaired = repair_joined(joined, params)
+        sink = ExactlyOnceParquetSink(out_dir)
+        writer = (repaired.writeStream.foreachBatch(sink)
+                  .option("checkpointLocation", checkpoint_dir))
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        query = writer.start()
+    except Exception:
+        conf.set(key, prev)
+        raise
+
+    def _restore_on_end():
+        try:
+            query.awaitTermination()
+        except Exception:
+            pass
+        conf.set(key, prev)
+
+    threading.Thread(target=_restore_on_end, daemon=True).start()
+    return query
 
 
 def run_otsu_pipeline(seq: DataFrame, out_dir: str, checkpoint_dir: str,

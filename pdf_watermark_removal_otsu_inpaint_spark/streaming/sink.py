@@ -63,8 +63,15 @@ class ExactlyOnceParquetSink:
             lineage = (deduped.groupBy(F.spark_partition_id().alias("partition_id"))
                        .agg(*agg_cols)
                        .withColumn("batch_id", F.lit(batch_id)))
-            lineage.write.mode("overwrite").parquet(metrics_path)
-            n_rows = deduped.count()
+            # collect the tiny per-partition lineage once: the marker's row
+            # count is the SUM of rows_out (no second full pass over the
+            # batch), and the metrics parquet is rewritten from the collected
+            # rows (a one-row-per-partition local frame, no data shuffle)
+            lineage_rows = lineage.collect()
+            n_rows = int(sum(r["rows_out"] for r in lineage_rows))
+            spark = batch_df.sparkSession
+            (spark.createDataFrame(lineage_rows, schema=lineage.schema)
+             .coalesce(1).write.mode("overwrite").parquet(metrics_path))
         finally:
             deduped.unpersist()
 

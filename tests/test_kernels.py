@@ -200,10 +200,13 @@ def test_otsu_bimodal():
 
 
 def test_otsu_degenerate():
-    assert rk.otsu_threshold(np.zeros(256)) == 0
+    # no valid split (empty / single occupied bin) -> 255 = "mask nothing",
+    # the same convention as otsu_sql dropping the group + otsu_repair's
+    # coalesce(threshold, 255)
+    assert rk.otsu_threshold(np.zeros(256)) == 255
     h = np.zeros(256)
     h[7] = 10
-    assert rk.otsu_threshold(h) in (0, 7)
+    assert rk.otsu_threshold(h) == 255
 
 
 def test_classifier_decides():

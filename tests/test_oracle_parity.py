@@ -42,6 +42,21 @@ def _norm(rows, cols):
     return sorted(out, key=repr)
 
 
+def _type_class(t):
+    """Arrow type -> driver-visible class. The driver's canonical hash is
+    type-sensitive (a DuckDB HUGEINT/decimal sum renders differently than an
+    int64), so decimal must NOT normalize to integer here."""
+    import pyarrow.types as pt
+    for cls, pred in (("int", pt.is_integer), ("float", pt.is_floating),
+                      ("decimal", pt.is_decimal), ("bool", pt.is_boolean),
+                      ("str", pt.is_string), ("ts", pt.is_timestamp),
+                      ("date", pt.is_date), ("bin", pt.is_binary),
+                      ("list", lambda x: pt.is_list(x) or pt.is_large_list(x))):
+        if pred(t):
+            return cls
+    return str(t)
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, ddb, name):
     sdf = QUERIES[name](spark, SF_DIR)
@@ -51,6 +66,14 @@ def test_query_matches_oracle(spark, ddb, name):
     ocols = [d[0] for d in ores.description]
     orows = ores.fetchall()
     assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
+    # Arrow-level type classes must agree (reproduces the driver gate's
+    # type-sensitive hash: HUGEINT vs BIGINT is a FAIL even if values match)
+    stypes = {f.name: _type_class(f.type) for f in sdf.toArrow().schema}
+    otypes = {f.name: _type_class(f.type)
+              for f in ddb.execute(ORACLES[name]).fetch_arrow_table().schema}
+    bad = {c: (stypes[c], otypes[c]) for c in stypes
+           if stypes[c] != otypes.get(c)}
+    assert not bad, f"{name}: arrow type-class mismatch {bad}"
     assert len(srows) == len(orows), (
         f"{name}: row count {len(srows)} vs oracle {len(orows)}")
     sn, on = _norm(srows, scols), _norm(orows, ocols)
