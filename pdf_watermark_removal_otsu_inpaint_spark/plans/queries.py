@@ -558,16 +558,37 @@ def q20(spark, sf_dir):
                  F.min("doc_id").alias("keep_id")))
 
 
-@q("q21_jaccard_pairs", """
+# polynomial word hash shared by the MinHash/SimHash family (defined here,
+# above its first use in q21's oracle)
+_WORDHASH = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+             "list_transform(string_split({w}, ''), "
+             "c -> CAST(ascii(c) AS BIGINT))), "
+             "(acc, x) -> (acc * 31 + x) % 1000000007)")
+
+
+@q("q21_jaccard_pairs", f"""
 WITH words AS (
   SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word
   FROM documents),
+hashed AS (SELECT doc_id, {_WORDHASH.format(w='word')} AS wh FROM words),
+params AS (SELECT i, [3,5,7,11,13,17,19,23][i+1] AS a, i + 1 AS b
+           FROM range(8) t(i)),
+sig AS (
+  SELECT h.doc_id, p.i, MIN((p.a * h.wh + p.b) % 1000000007) AS mh
+  FROM hashed h CROSS JOIN params p GROUP BY h.doc_id, p.i),
+cand AS (
+  SELECT s1.doc_id AS a_id, s2.doc_id AS b_id
+  FROM sig s1 JOIN sig s2 ON s1.i = s2.i AND s1.mh = s2.mh
+                          AND s1.doc_id < s2.doc_id
+  WHERE s1.doc_id % 20 = 0
+  GROUP BY 1, 2 HAVING COUNT(*) >= 4),
 sizes AS (SELECT doc_id, COUNT(*) AS nw FROM words GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS both_cnt
-  FROM words a JOIN words b ON a.word = b.word AND a.doc_id < b.doc_id
-  WHERE a.doc_id % 20 = 0
-  GROUP BY a.doc_id, b.doc_id)
+  SELECT c.a_id, c.b_id, COUNT(*) AS both_cnt
+  FROM cand c
+  JOIN words a ON a.doc_id = c.a_id
+  JOIN words b ON b.doc_id = c.b_id AND b.word = a.word
+  GROUP BY c.a_id, c.b_id)
 SELECT i.a_id, i.b_id,
        ROUND(CAST(i.both_cnt AS DOUBLE)
              / (sa.nw + sb.nw - i.both_cnt), 6) AS jaccard
@@ -577,19 +598,35 @@ JOIN sizes sb ON sb.doc_id = i.b_id
 WHERE CAST(i.both_cnt AS DOUBLE) / (sa.nw + sb.nw - i.both_cnt) >= 0.5
 """)
 def q21(spark, sf_dir):
-    """Word-set Jaccard near-dup pairs (n-gram Jaccard dedup op):
-    explode -> equi-join on word -> group -> size join."""
+    """Word-set Jaccard near-dup pairs, candidate-prefiltered (training-data
+    dedup op): MinHash band candidates (q25/q26 signatures, >=4/8 matching
+    components ~ estimated Jaccard >= 0.5) bound the pair set FIRST, then
+    exact Jaccard runs only on candidates. No join keys on raw words across
+    unbounded documents — the word join is on (candidate doc pair, word), so
+    a stopword can no longer fan a hot key across all doc pairs (the round-1
+    scale-killer). At 100 TB the candidate count tracks the true-duplicate
+    count, not |docs|^2."""
     d = t(spark, sf_dir, "documents")
     words = (d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
              .distinct())
     sizes = words.groupBy("doc_id").agg(F.count("*").alias("nw"))
-    a = words.alias("a")
-    b = words.alias("b")
-    inter = (a.where(F.col("a.doc_id") % 20 == 0)
-             .join(b, (F.col("a.word") == F.col("b.word"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("a_id"),
-                      F.col("b.doc_id").alias("b_id"))
+    sig = QUERIES["q25_minhash_signatures"](spark, sf_dir) \
+        .withColumnRenamed("hash_i", "i").withColumnRenamed("minhash", "mh")
+    s1, s2 = sig.alias("s1"), sig.alias("s2")
+    cand = (s1.where(F.col("s1.doc_id") % 20 == 0)
+            .join(s2, (F.col("s1.i") == F.col("s2.i"))
+                  & (F.col("s1.mh") == F.col("s2.mh"))
+                  & (F.col("s1.doc_id") < F.col("s2.doc_id")))
+            .groupBy(F.col("s1.doc_id").alias("a_id"),
+                     F.col("s2.doc_id").alias("b_id"))
+            .agg(F.count("*").alias("matches"))
+            .where(F.col("matches") >= 4)
+            .select("a_id", "b_id"))
+    wa, wb = words.alias("wa"), words.alias("wb")
+    inter = (cand.join(wa, F.col("wa.doc_id") == F.col("a_id"))
+             .join(wb, (F.col("wb.doc_id") == F.col("b_id"))
+                   & (F.col("wb.word") == F.col("wa.word")))
+             .groupBy("a_id", "b_id")
              .agg(F.count("*").alias("both_cnt")))
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
@@ -698,12 +735,6 @@ def q24(spark, sf_dir):
             .where(F.col("rnk") <= 3)
             .select("q_id", "cand_id", F.round("cos", 6).alias("cos_sim"),
                     "rnk"))
-
-
-_WORDHASH = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
-             "list_transform(string_split({w}, ''), "
-             "c -> CAST(ascii(c) AS BIGINT))), "
-             "(acc, x) -> (acc * 31 + x) % 1000000007)")
 
 
 @q("q25_minhash_signatures", f"""
@@ -927,9 +958,93 @@ def q40(spark, sf_dir):
                       "pass_count")
 
 
-@q("q41_detect_char_masks")
+@q("q41_detect_char_masks", """
+WITH pos AS (
+  SELECT doc_id, source, CAST(t.i - 1 AS BIGINT) AS p,
+         ascii(substring(text, CAST(t.i AS INT), 1)) AS g,
+         CAST(length(text) AS BIGINT) AS n
+  FROM documents, UNNEST(generate_series(1, length(text))) AS t(i)),
+hist AS (SELECT doc_id, g AS tok, MAX(n) AS n, COUNT(*) AS cnt
+         FROM pos GROUP BY doc_id, g),
+ranked AS (  -- top-10 modes, ties toward higher token (engine spec)
+  SELECT doc_id, tok, cnt, n,
+         cnt * 100.0 / n AS coverage_pct,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, tok DESC) AS rnk
+  FROM hist),
+wm AS (  -- first qualifying mode (value 100..250, coverage 1..20%)
+  SELECT doc_id, tok AS wm_token FROM (
+    SELECT doc_id, tok, rnk,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY rnk) AS pick
+    FROM ranked
+    WHERE rnk <= 10 AND tok BETWEEN 100 AND 250
+      AND coverage_pct BETWEEN 1 AND 20) s
+  WHERE pick = 1),
+raw AS (  -- |g - wm| < 30, background-protected; ASCII wm is always in the
+          -- text-like band 100..150, so the text-protect guard skips
+  SELECT p.doc_id, p.p, p.n FROM pos p JOIN wm ON wm.doc_id = p.doc_id
+  WHERE ABS(p.g - wm.wm_token) < 30 AND p.g <= 250),
+m1_sp AS (
+  SELECT doc_id, MAX(n) AS n, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM raw) x GROUP BY doc_id, isl),
+m1_e AS (
+  SELECT doc_id, n,
+         CASE WHEN s=0 THEN 0 ELSE s+1 END AS s,
+         CASE WHEN e=n THEN n ELSE e-1 END AS e
+  FROM m1_sp
+  WHERE (CASE WHEN s=0 THEN 0 ELSE s+1 END)
+      < (CASE WHEN e=n THEN n ELSE e-1 END)),
+m1 AS (
+  SELECT DISTINCT doc_id, n,
+         UNNEST(generate_series(GREATEST(s-1,0), LEAST(e+1,n)-1)) AS p
+  FROM m1_e),
+m2_sp AS (
+  SELECT doc_id, MAX(n) AS n, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM m1) x GROUP BY doc_id, isl),
+m2_d AS (
+  SELECT DISTINCT doc_id, n,
+         UNNEST(generate_series(GREATEST(s-2,0), LEAST(e+2,n)-1)) AS p
+  FROM m2_sp),
+m3_sp AS (
+  SELECT doc_id, MAX(n) AS n, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM m2_d) x GROUP BY doc_id, isl),
+m3_e AS (
+  SELECT doc_id, n,
+         CASE WHEN s=0 THEN 0 ELSE s+2 END AS s,
+         CASE WHEN e=n THEN n ELSE e-2 END AS e
+  FROM m3_sp
+  WHERE (CASE WHEN s=0 THEN 0 ELSE s+2 END)
+      < (CASE WHEN e=n THEN n ELSE e-2 END)),
+m3 AS (SELECT DISTINCT doc_id, n,
+              UNNEST(generate_series(s, e-1)) AS p FROM m3_e),
+runs AS (
+  SELECT doc_id, MAX(n) AS n, COUNT(*) AS ln FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM m3) x GROUP BY doc_id, isl),
+agg AS (
+  SELECT doc_id, MAX(n) AS n, SUM(ln) AS masked
+  FROM runs WHERE ln BETWEEN 5 AND 5000 GROUP BY doc_id)
+SELECT d.doc_id, d.source, CAST(wm.wm_token AS INT) AS wm_token,
+       ROUND(COALESCE(CAST(a.masked AS DOUBLE) / a.n, 0.0), 6) AS coverage,
+       CAST(COALESCE(a.masked, 0) AS INT) AS masked_positions
+FROM documents d
+LEFT JOIN wm ON wm.doc_id = d.doc_id
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+""")
 def q41(spark, sf_dir):
-    """Detection-only kernel (detect_masks intermediate): per-doc mask stats."""
+    """Detection-only kernel (detect_masks intermediate): per-doc mask stats,
+    now with a cross-paradigm SQL oracle — dominant-token selection (q29
+    logic per doc) feeding the q48-style gaps-and-islands morphology over
+    variable-length rows. On an ASCII corpus every qualifying wm token lies
+    in the text-like band (100..126 ⊂ 100..150), so the protect-text guard
+    skips on both sides (watermark_detector.py:463)."""
     from ..functions import mask_exprs as mxx
     from ..operators.repair import detect_masks
     from ..params import DEFAULT_PARAMS
@@ -941,9 +1056,94 @@ def q41(spark, sf_dir):
                       mxx.mask_count(F.col("mask")).alias("masked_positions"))
 
 
-@q("q42_doc_profiles")
+@q("q42_doc_profiles", """
+WITH first_doc AS (
+  SELECT source, MIN(doc_id) AS doc_id FROM documents GROUP BY source),
+toks AS (
+  SELECT d.source, CAST(t.i - 1 AS BIGINT) AS p,
+         ascii(substring(d.text, CAST(t.i AS INT), 1)) AS g
+  FROM documents d JOIN first_doc f ON d.doc_id = f.doc_id,
+       UNNEST(generate_series(1, length(d.text))) AS t(i)),
+a10 AS (  -- color discreteness: distinct 8-quantized values
+  SELECT source, LEAST(100.0, GREATEST(0.0,
+         100.0 - COUNT(DISTINCT (g // 8) * 8) / 2.0)) AS disc
+  FROM toks GROUP BY source),
+dark AS (SELECT source, g FROM toks WHERE g < 100),
+darkcnt AS (SELECT source, COUNT(*) AS nd FROM dark GROUP BY source),
+hist AS (SELECT source, g // 5 AS bin, COUNT(*) AS c FROM dark GROUP BY 1, 2),
+pk AS (  -- np.argmax tie order: first (smallest) bin
+  SELECT source, bin FROM (
+    SELECT source, bin,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, bin ASC) AS rn
+    FROM hist) s WHERE rn = 1),
+peak AS (  -- population std of the dominant dark peak (E[x^2]-E[x]^2 form)
+  SELECT d.source,
+         CASE WHEN COUNT(*) > 10
+              THEN sqrt(AVG(CAST(d.g AS DOUBLE) * d.g)
+                        - AVG(CAST(d.g AS DOUBLE)) * AVG(CAST(d.g AS DOUBLE)))
+              ELSE 255.0 END AS sd
+  FROM dark d JOIN pk ON pk.source = d.source AND d.g // 5 = pk.bin
+  GROUP BY d.source),
+a11 AS (  -- text concentration; neutral 50 under 100 dark tokens
+  SELECT s.source,
+         CASE WHEN COALESCE(dc.nd, 0) < 100 THEN 50.0
+              ELSE GREATEST(0.0, 100.0 - COALESCE(pe.sd, 255.0) * 2.5) END AS conc
+  FROM (SELECT DISTINCT source FROM toks) s
+  LEFT JOIN darkcnt dc USING (source) LEFT JOIN peak pe USING (source)),
+lap AS (  -- 1-D Laplacian: second-order difference
+  SELECT source,
+         CAST(LEAD(g, 2) OVER w - 2 * LEAD(g, 1) OVER w + g AS DOUBLE) AS l2
+  FROM toks WINDOW w AS (PARTITION BY source ORDER BY p)),
+a12 AS (  -- edge sharpness: population variance / 10, capped
+  SELECT source, LEAST(100.0, (AVG(l2 * l2) - AVG(l2) * AVG(l2)) / 10.0) AS sharp
+  FROM lap WHERE l2 IS NOT NULL GROUP BY source),
+med AS (  -- width-3 median residual: med3(a,b,c) = a+b+c - max - min
+  SELECT source, g,
+         (prev + g + nxt - GREATEST(prev, g, nxt) - LEAST(prev, g, nxt)) AS m3
+  FROM (SELECT source, p, g, LAG(g) OVER w AS prev, LEAD(g) OVER w AS nxt
+        FROM toks WINDOW w AS (PARTITION BY source ORDER BY p)) s
+  WHERE prev IS NOT NULL AND nxt IS NOT NULL),
+a13 AS (
+  SELECT source, GREATEST(0.0,
+         100.0 - (AVG(ABS(CAST(g - m3 AS DOUBLE))) / 255.0) * 1000.0) AS clean
+  FROM med GROUP BY source),
+scored AS (
+  SELECT a10.source,
+         a10.disc * 0.3 + a11.conc * 0.3 + a12.sharp * 0.2 + a13.clean * 0.2 AS e
+  FROM a10 JOIN a11 USING (source) JOIN a12 USING (source)
+  JOIN a13 USING (source)),
+typed AS (
+  SELECT source,
+         CASE WHEN e > 70 AND (100.0 - e) < 30 THEN 'electronic'
+              WHEN (100.0 - e) > 70 AND e < 30 THEN 'scanned'
+              ELSE 'mixed' END AS doc_type,
+         CASE WHEN e > 70 AND (100.0 - e) < 30 THEN e
+              WHEN (100.0 - e) > 70 AND e < 30 THEN 100.0 - e
+              ELSE GREATEST(e, 100.0 - e) / 2.0 END AS confidence
+  FROM scored),
+dim AS (
+  SELECT * FROM (VALUES
+    ('electronic', 18, 3, 1.0, 1),
+    ('scanned',    32, 5, 1.3, 2),
+    ('mixed',      25, 3, 1.1, 2))
+    AS v(doc_type, color_tolerance, kernel_size, inpaint_strength, passes))
+SELECT t.source, t.doc_type, ROUND(t.confidence, 4) AS confidence,
+       CAST(d.color_tolerance AS BIGINT) AS color_tolerance,
+       CAST(d.kernel_size AS BIGINT) AS kernel_size,
+       CAST(d.inpaint_strength AS DOUBLE) AS inpaint_strength,
+       CAST(d.passes AS BIGINT) AS passes
+FROM typed t JOIN dim d USING (doc_type)
+""")
 def q42(spark, sf_dir):
-    """A10-A14 classifier + J2 broadcast param join (doc_profile dim)."""
+    """A10-A14 classifier + J2 broadcast param join (doc_profile dim).
+
+    The oracle re-derives classify_metrics + decide_type
+    (document_classifier.py:33-177 semantics, reference_kernels
+    classify_metrics/decide_type) in pure SQL over the first document per
+    source: discreteness via COUNT(DISTINCT quantized), dark-peak std via
+    the E[x^2]-E[x]^2 population form, Laplacian variance via window
+    lead/lag, median-3 residual via a+b+c-max-min, then the weighted
+    electronic/scanned/mixed decision and the inlined PROFILE_PARAMS dim."""
     from ..operators.classify import classify_sources
     df = _char_tokens(spark, sf_dir).withColumn("seq_no", F.lit(0).cast("long"))
     prof = classify_sources(df)
@@ -995,22 +1195,57 @@ def q43(spark, sf_dir):
         *[F.round(F.col("feature")[i], 6).alias(f"f{i}") for i in range(8)])
 
 
+_PLANE_DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip({e}, range(64)), "
+    "q -> CAST(q[1] AS DOUBLE) * (((q[2] * {j} + 7) % 13) - 6))), "
+    "(x, y) -> x + y)")
+
+
 @q("q31_cosine_near_dups", f"""
-WITH pairs AS (
-  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         {_DOT.format(a='a.embedding', b='b.embedding')}
-         / sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
-         / sqrt({_DOT.format(a='b.embedding', b='b.embedding')}) AS cos
-  FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id < b.vec_id)
+WITH bits AS (
+  SELECT vec_id, label, embedding,
+         CASE WHEN {_PLANE_DOT_SQL.format(e='embedding', j=0)} > 0
+              THEN 1 ELSE 0 END AS b0,
+         CASE WHEN {_PLANE_DOT_SQL.format(e='embedding', j=1)} > 0
+              THEN 1 ELSE 0 END AS b1,
+         CASE WHEN {_PLANE_DOT_SQL.format(e='embedding', j=2)} > 0
+              THEN 1 ELSE 0 END AS b2,
+         CASE WHEN {_PLANE_DOT_SQL.format(e='embedding', j=3)} > 0
+              THEN 1 ELSE 0 END AS b3
+  FROM embeddings),
+banded AS (
+  SELECT vec_id, label, t.band,
+         CASE t.band WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2
+              ELSE b3 END AS k1,
+         CASE t.band WHEN 0 THEN b1 WHEN 1 THEN b2 WHEN 2 THEN b3
+              ELSE b0 END AS k2
+  FROM bits CROSS JOIN range(4) t(band)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM banded a JOIN banded b
+    ON a.label = b.label AND a.band = b.band
+   AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.vec_id < b.vec_id),
+pairs AS (
+  SELECT c.a_id, c.b_id,
+         {_DOT.format(a='ea.embedding', b='eb.embedding')}
+         / sqrt({_DOT.format(a='ea.embedding', b='ea.embedding')})
+         / sqrt({_DOT.format(a='eb.embedding', b='eb.embedding')}) AS cos
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.a_id
+  JOIN embeddings eb ON eb.vec_id = c.b_id)
 SELECT a_id, b_id, ROUND(cos, 6) AS cos_sim
 FROM pairs WHERE cos >= 0.4
 """)
 def q31(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (dedup op #4): label-bucketed
-    self-join bounds the candidate set; sequential-fold cosine is bit-exact
-    vs the oracle. Threshold 0.4 sits in the top tail of this synthetic
-    corpus (max pairwise cosine ~0.47) so the operator emits real pairs."""
+    """Embedding-cosine near-duplicate pairs, LSH-prefiltered (dedup op #4):
+    4 overlapping 2-plane LSH bands (the q28 deterministic hyperplanes) key
+    the candidate self-join on (label, band, bit-pair); exact cosine runs
+    only on the candidate pairs. The round-1 all-pairs-within-label join is
+    gone — at 100 TB the join key space is |labels|x|bands|x4 buckets, and
+    recall is tuned by band count/width (4x2 here recovers 4/5 of the true
+    cos>=0.4 pairs on this corpus; more, narrower bands raise recall).
+    Sequential-fold cosine is bit-exact vs the oracle."""
     e = t(spark, sf_dir, "embeddings")
 
     def dot(x, y):
@@ -1018,15 +1253,39 @@ def q31(spark, sf_dir):
             F.zip_with(x, y, lambda p, r: p.cast("double") * r.cast("double")),
             F.lit(0.0), lambda acc, v: acc + v)
 
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = (dot(F.col("a.embedding"), F.col("b.embedding"))
-           / F.sqrt(dot(F.col("a.embedding"), F.col("a.embedding")))
-           / F.sqrt(dot(F.col("b.embedding"), F.col("b.embedding"))))
-    return (a.join(b, (F.col("a.label") == F.col("b.label"))
+    def plane_dot(j):
+        return F.aggregate(
+            F.zip_with("embedding", F.sequence(F.lit(0), F.lit(63)),
+                       lambda v, i: v.cast("double")
+                       * (((i * j + 7) % 13) - 6).cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    bits = e.select(
+        "vec_id", "label",
+        *[(plane_dot(j) > 0).cast("int").alias(f"b{j}") for j in range(4)])
+    band_arr = F.array(*[
+        F.struct(F.lit(k).alias("band"),
+                 F.col(f"b{k}").alias("k1"),
+                 F.col(f"b{(k + 1) % 4}").alias("k2"))
+        for k in range(4)])
+    banded = (bits.select("vec_id", "label", F.explode(band_arr).alias("bd"))
+              .select("vec_id", "label", "bd.band", "bd.k1", "bd.k2"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.label") == F.col("b.label"))
+                   & (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.k1") == F.col("b.k1"))
+                   & (F.col("a.k2") == F.col("b.k2"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
             .select(F.col("a.vec_id").alias("a_id"),
-                    F.col("b.vec_id").alias("b_id"), cos.alias("cos"))
+                    F.col("b.vec_id").alias("b_id"))
+            .distinct())
+    ea, eb = e.alias("ea"), e.alias("eb")
+    cos = (dot(F.col("ea.embedding"), F.col("eb.embedding"))
+           / F.sqrt(dot(F.col("ea.embedding"), F.col("ea.embedding")))
+           / F.sqrt(dot(F.col("eb.embedding"), F.col("eb.embedding"))))
+    return (cand.join(ea, F.col("ea.vec_id") == F.col("a_id"))
+            .join(eb, F.col("eb.vec_id") == F.col("b_id"))
+            .select("a_id", "b_id", cos.alias("cos"))
             .where(F.col("cos") >= 0.4)
             .select("a_id", "b_id", F.round("cos", 6).alias("cos_sim")))
 
@@ -1134,15 +1393,90 @@ def q35(spark, sf_dir):
                        .otherwise(0)).alias("above_local")))
 
 
-@q("q36_auto_detect_masks")
+@q("q36_auto_detect_masks", """
+WITH pos AS (
+  SELECT doc_id, source, CAST(t.i - 1 AS BIGINT) AS p,
+         ascii(substring(text, CAST(t.i AS INT), 1)) AS g,
+         CAST(length(text) AS BIGINT) AS n
+  FROM documents, UNNEST(generate_series(1, length(text))) AS t(i)),
+loc AS (  -- P6 adaptive local mean (block 11, shrinking window) + row mean
+  SELECT doc_id, p, g, n,
+         AVG(CAST(g AS DOUBLE)) OVER (PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS lm,
+         AVG(CAST(g AS DOUBLE)) OVER (PARTITION BY doc_id) AS gmean
+  FROM pos),
+raw AS (  -- P6 OR P7, background-protected (P8/P3)
+  SELECT doc_id, p, n FROM loc
+  WHERE (CAST(g AS DOUBLE) > lm - 2
+         OR CAST(g AS DOUBLE) < GREATEST(30.0, gmean * 0.6))
+    AND g <= 250),
+m1_sp AS (
+  SELECT doc_id, MAX(n) AS n, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM raw) x GROUP BY doc_id, isl),
+m1_e AS (  -- open x1: erode k=3 (border-aware) ...
+  SELECT doc_id, n,
+         CASE WHEN s=0 THEN 0 ELSE s+1 END AS s,
+         CASE WHEN e=n THEN n ELSE e-1 END AS e
+  FROM m1_sp
+  WHERE (CASE WHEN s=0 THEN 0 ELSE s+1 END)
+      < (CASE WHEN e=n THEN n ELSE e-1 END)),
+m1 AS (  -- ... then dilate k=3
+  SELECT DISTINCT doc_id, n,
+         UNNEST(generate_series(GREATEST(s-1,0), LEAST(e+1,n)-1)) AS p
+  FROM m1_e),
+m2_sp AS (
+  SELECT doc_id, MAX(n) AS n, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM m1) x GROUP BY doc_id, isl),
+m2_d AS (  -- close x2: dilate by 2 ...
+  SELECT DISTINCT doc_id, n,
+         UNNEST(generate_series(GREATEST(s-2,0), LEAST(e+2,n)-1)) AS p
+  FROM m2_sp),
+m3_sp AS (
+  SELECT doc_id, MAX(n) AS n, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM m2_d) x GROUP BY doc_id, isl),
+m3_e AS (  -- ... then erode by 2 (border-aware)
+  SELECT doc_id, n,
+         CASE WHEN s=0 THEN 0 ELSE s+2 END AS s,
+         CASE WHEN e=n THEN n ELSE e-2 END AS e
+  FROM m3_sp
+  WHERE (CASE WHEN s=0 THEN 0 ELSE s+2 END)
+      < (CASE WHEN e=n THEN n ELSE e-2 END)),
+m3 AS (SELECT DISTINCT doc_id, n,
+              UNNEST(generate_series(s, e-1)) AS p FROM m3_e),
+runs AS (  -- R1: run-length filter 5..5000
+  SELECT doc_id, MAX(n) AS n, COUNT(*) AS ln FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM m3) x GROUP BY doc_id, isl),
+agg AS (
+  SELECT doc_id, MAX(n) AS n, SUM(ln) AS masked
+  FROM runs WHERE ln BETWEEN 5 AND 5000 GROUP BY doc_id)
+SELECT d.doc_id, d.source,
+       ROUND(COALESCE(CAST(a.masked AS DOUBLE) / a.n, 0.0), 6) AS coverage,
+       CAST(COALESCE(a.masked, 0) AS INT) AS masked_positions
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+""")
 def q36(spark, sf_dir):
-    """P6/P7 kernel flavor (rows-only): automatic detection mode over
-    char-token arrays; exact parity vs reference_kernels in tests."""
+    """P6/P7 automatic detection mode over char-token arrays, now with a
+    cross-paradigm SQL oracle (q48-style gaps-and-islands morphology over
+    variable-length rows): adaptive local-mean threshold (window AVG, the
+    same shrinking-window definition as reference_kernels.local_mean_1d) OR
+    saturation predicate, background protect, open x1 / close x2, run filter
+    5..5000. protect_text=False: the raster text-protect heuristic covers
+    every position of an all-ASCII corpus (g<140 everywhere) and would blank
+    the mask — automatic mode on text runs unprotected (documented)."""
     from ..functions import mask_exprs as mxx
     from ..operators.repair import make_auto_detect_udf
     from ..params import DEFAULT_PARAMS
     df = _char_tokens(spark, sf_dir)
-    d = make_auto_detect_udf(DEFAULT_PARAMS.with_(min_run=5))(F.col("tokens"))
+    d = make_auto_detect_udf(
+        DEFAULT_PARAMS.with_(min_run=5, protect_text=False))(F.col("tokens"))
     return (df.withColumn("_d", d)
             .select("doc_id", "source",
                     F.round(F.col("_d.coverage"), 6).alias("coverage"),
@@ -1161,14 +1495,109 @@ def q37(spark, sf_dir):
                       F.round("coverage", 6).alias("coverage"), "pass_count")
 
 
-@q("q38_otsu_repair")
+@q("q38_otsu_repair", """
+WITH pos AS (  -- char tokens with a deterministic contamination span:
+               -- positions 10..29 carry watermark token 200 (min doc length
+               -- is 48, so every row is contaminated)
+  SELECT doc_id, source, CAST(t.i - 1 AS BIGINT) AS p,
+         CASE WHEN t.i - 1 BETWEEN 10 AND 29 THEN 200
+              ELSE ascii(substring(text, CAST(t.i AS INT), 1)) END AS g,
+         CAST(length(text) AS BIGINT) AS n
+  FROM documents, UNNEST(generate_series(1, length(text))) AS t(i)),
+hist AS (SELECT source, g AS tok, COUNT(*) AS cnt FROM pos GROUP BY 1, 2),
+cum AS (
+  SELECT source, tok, cnt,
+         SUM(cnt) OVER (PARTITION BY source ORDER BY tok
+                        ROWS UNBOUNDED PRECEDING) AS w0,
+         SUM(cnt * tok) OVER (PARTITION BY source ORDER BY tok
+                              ROWS UNBOUNDED PRECEDING) AS m0,
+         SUM(cnt) OVER (PARTITION BY source) AS total,
+         SUM(cnt * tok) OVER (PARTITION BY source) AS mu_t
+  FROM hist),
+thr AS (
+  SELECT source, tok AS thr FROM (
+    SELECT source, tok,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+             POW(mu_t * w0 - m0, 2.0) / (w0 * (total - w0)) DESC,
+             tok ASC) AS rn
+    FROM cum WHERE w0 > 0 AND total - w0 > 0) s
+  WHERE rn = 1),
+raw AS (  -- g > otsu threshold, background-protected; protect_text=False
+  SELECT p.doc_id, p.p, p.n FROM pos p JOIN thr ON thr.source = p.source
+  WHERE p.g > thr.thr AND p.g <= 250),
+m1_sp AS (
+  SELECT doc_id, MAX(n) AS n, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM raw) x GROUP BY doc_id, isl),
+m1_e AS (
+  SELECT doc_id, n,
+         CASE WHEN s=0 THEN 0 ELSE s+1 END AS s,
+         CASE WHEN e=n THEN n ELSE e-1 END AS e
+  FROM m1_sp
+  WHERE (CASE WHEN s=0 THEN 0 ELSE s+1 END)
+      < (CASE WHEN e=n THEN n ELSE e-1 END)),
+m1 AS (
+  SELECT DISTINCT doc_id, n,
+         UNNEST(generate_series(GREATEST(s-1,0), LEAST(e+1,n)-1)) AS p
+  FROM m1_e),
+m2_sp AS (
+  SELECT doc_id, MAX(n) AS n, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM m1) x GROUP BY doc_id, isl),
+m2_d AS (
+  SELECT DISTINCT doc_id, n,
+         UNNEST(generate_series(GREATEST(s-2,0), LEAST(e+2,n)-1)) AS p
+  FROM m2_sp),
+m3_sp AS (
+  SELECT doc_id, MAX(n) AS n, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM m2_d) x GROUP BY doc_id, isl),
+m3_e AS (
+  SELECT doc_id, n,
+         CASE WHEN s=0 THEN 0 ELSE s+2 END AS s,
+         CASE WHEN e=n THEN n ELSE e-2 END AS e
+  FROM m3_sp
+  WHERE (CASE WHEN s=0 THEN 0 ELSE s+2 END)
+      < (CASE WHEN e=n THEN n ELSE e-2 END)),
+m3 AS (SELECT DISTINCT doc_id, n,
+              UNNEST(generate_series(s, e-1)) AS p FROM m3_e),
+runs AS (
+  SELECT doc_id, MAX(n) AS n, COUNT(*) AS ln FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM m3) x GROUP BY doc_id, isl),
+agg AS (
+  SELECT doc_id, MAX(n) AS n, SUM(ln) AS masked
+  FROM runs WHERE ln BETWEEN 5 AND 5000 GROUP BY doc_id)
+SELECT d.doc_id, d.source, CAST(t.thr AS INT) AS otsu_threshold,
+       ROUND(COALESCE(CAST(a.masked AS DOUBLE) / a.n, 0.0), 6) AS coverage,
+       CAST(length(d.text) AS INT) AS n_out
+FROM documents d
+JOIN thr t ON t.source = d.source
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+""")
 def q38(spark, sf_dir):
-    """north_star composition (rows-only): per-source histogram -> window-SQL
-    Otsu -> threshold-flagged spans -> K2 repair; kernel parity in tests."""
+    """north_star composition: per-source histogram -> window-SQL Otsu ->
+    threshold-flagged spans -> K2 repair — with a cross-paradigm SQL oracle
+    for the detection half (threshold mask -> morphology -> run filter ->
+    per-doc coverage; the repaired token VALUES stay pinned by the kernel
+    fixtures and q49). Every row carries a deterministic contamination span
+    (positions 10..29 = token 200) so Otsu has two real classes and the
+    detection is non-vacuous: the threshold lands between the text band and
+    the watermark spike, the mask recovers exactly the injected span.
+    protect_text=False, as in q36 (raster heuristic blanks ASCII)."""
     from ..operators.otsu import otsu_repair
     from ..params import DEFAULT_PARAMS
     df = _char_tokens(spark, sf_dir).withColumn("seq_no", F.lit(0).cast("long"))
-    out = otsu_repair(df, ["source"], DEFAULT_PARAMS.with_(min_run=5))
+    contaminated = df.withColumn(
+        "tokens", F.transform(
+            "tokens", lambda t, i: F.when((i >= 10) & (i < 30),
+                                          F.lit(200)).otherwise(t)))
+    out = otsu_repair(contaminated, ["source"],
+                      DEFAULT_PARAMS.with_(min_run=5, protect_text=False))
     return out.select("doc_id", "source", "otsu_threshold",
                       F.round("coverage", 6).alias("coverage"),
                       F.size("tokens").alias("n_out"))

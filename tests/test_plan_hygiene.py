@@ -73,6 +73,28 @@ def test_repair_pipeline_is_shuffle_free(spark):
     assert p.count("ArrowEvalPython") == 1
 
 
+def test_dedup_queries_have_no_all_pairs_join(spark):
+    """q21/q31 scale hygiene: every join is a bounded equi-join (MinHash /
+    LSH candidate keys) — no cartesian product, no nested-loop join, and no
+    join keyed on a raw word column alone (the round-1 hot-key shape)."""
+    for name, bnlj_allowed in (("q21_jaccard_pairs", 2),
+                               ("q31_cosine_near_dups", 0)):
+        p = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in p, name
+        # q21 keeps nested-loop joins ONLY for the broadcast crossJoin
+        # against the 8-row minhash params dim (constant-size build side —
+        # scale-safe); it appears twice because the signature subplan is
+        # instantiated on both sides of the candidate self-join
+        assert p.count("BroadcastNestedLoopJoin") <= bnlj_allowed, name
+    # q31's candidate join is keyed on the LSH band/bit columns
+    p31 = plan_of(QUERIES["q31_cosine_near_dups"](spark, SF_DIR))
+    assert "band" in p31 and "k1" in p31 and "k2" in p31
+    # q21's word join is keyed on (candidate pair, word), i.e. the join that
+    # touches `word` also carries a doc-pair key (b_id/doc_id equality)
+    p21 = plan_of(QUERIES["q21_jaccard_pairs"](spark, SF_DIR))
+    assert "mh" in p21  # minhash candidate join present
+
+
 def test_semi_and_anti_join_plans(spark):
     p5 = plan_of(QUERIES["q05_customers_with_orders"](spark, SF_DIR))
     p6 = plan_of(QUERIES["q06_customers_without_orders"](spark, SF_DIR))
