@@ -97,20 +97,17 @@ def make_apply_mask_udf(params: EngineParams = DEFAULT_PARAMS):
 
     @pandas_udf("array<int>")
     def apply_mask(tokens: pd.Series, mask: pd.Series) -> pd.Series:
-        from .. import reference_kernels as rk
-        out = []
-        for arr, m in zip(tokens.to_numpy(), mask.to_numpy()):
-            a = np.asarray(arr)
-            mk = np.asarray(m, dtype=bool)
-            if not mk.any():
-                out.append(np.asarray(a, dtype=np.int32))
-                continue
-            cov = rk.coverage(mk)
-            radius = rk.dynamic_radius(cov, p.inpaint_radius, p.inpaint_strength)
-            filled = rk.inpaint_1d(a, mk, radius)
-            out.append(rk.blend(a, filled, mk, p.inpaint_strength)
-                       .astype(np.int32, copy=False))
-        return pd.Series(out)
+        # whole-batch vectorized (no per-row Python kernel calls): flatten
+        # the batch once, run the flat-buffer K2 kernel, slice back
+        from .repair_vectorized import apply_mask_batch, flatten_arrays
+        flat, offsets = flatten_arrays(tokens)
+        if offsets.size <= 1:
+            return pd.Series([], dtype=object)
+        mflat, _ = flatten_arrays(mask)
+        out = apply_mask_batch(flat.astype(np.int32, copy=False),
+                               mflat.astype(bool, copy=False), offsets, p)
+        return pd.Series([out[offsets[i]:offsets[i + 1]]
+                          for i in range(offsets.size - 1)])
 
     return apply_mask
 
@@ -220,6 +217,45 @@ def repair_sequences_packed(df: DataFrame,
                       F.col("_r.coverage").alias("coverage"),
                       F.col("_r.wm_token").alias("wm_token"),
                       F.col("_r.pass_count").alias("pass_count")))
+
+
+# ---------------------------------------------------------------------------
+# J3: marker-span mask merge (the QR path) — a detected marker region is
+# expressed as a positional span, OR'd into the watermark mask, and repaired
+# as one merged mask. Reference: qr_detector.py:373-400 (create span mask),
+# watermark_detector.py:689-694 (wm_mask |= qr_mask).
+# ---------------------------------------------------------------------------
+def repair_with_marker_spans(df: DataFrame,
+                             params: EngineParams = DEFAULT_PARAMS) -> DataFrame:
+    """sequences + per-row marker span -> merged-mask repair (J3).
+
+    Expects columns (tokens, marker_lo, marker_hi): the marker span is
+    [marker_lo, marker_hi) (null = no marker). Emits the detect-mask count,
+    the span count, the merged count (merged ⊇ each input by construction:
+    zip_with OR), and the repaired tokens — repair runs ONCE on the merged
+    mask, exactly like the reference's combined pass."""
+    from ..functions import mask_exprs as mx
+    d = make_detect_udf(params)(F.col("tokens"), F.lit(None).cast("int"))
+    n = F.size("tokens")
+    lo = F.coalesce(F.col("marker_lo"), F.lit(0))
+    hi = F.coalesce(F.col("marker_hi"), F.lit(0))
+    span = mx.span_mask(n, lo, hi)
+    stage = (df.withColumn("_d", d)
+             .withColumn("_span", span)
+             .withColumn("_merged", mx.mask_or(F.col("_d.mask"),
+                                               F.col("_span"))))
+    rep = make_apply_mask_udf(params)(F.col("tokens"), F.col("_merged"))
+    keep = [c for c in ("doc_id", "seq_no", "event_ts", "source", "n_tok")
+            if c in df.columns]
+    return (stage.select(
+        *keep,
+        F.col("_d.wm_token").alias("wm_token"),
+        mx.mask_count(F.col("_d.mask")).alias("detect_cnt"),
+        mx.mask_count(F.col("_span")).alias("span_cnt"),
+        mx.mask_count(F.col("_merged")).alias("merged_cnt"),
+        rep.alias("tokens"),
+        F.col("_d.mask").alias("detect_mask"),
+        F.col("_merged").alias("merged_mask")))
 
 
 def make_auto_detect_udf(params: EngineParams = DEFAULT_PARAMS):

@@ -229,6 +229,86 @@ def repair_batch(flat: np.ndarray, offsets: np.ndarray,
 
 
 
+def detect_batch(flat: np.ndarray, offsets: np.ndarray,
+                 params: EngineParams = DEFAULT_PARAMS,
+                 wm_in: np.ndarray | None = None):
+    """Whole-batch detect_refine (detection only, no inpaint): the pass-0
+    detection stage of repair_batch factored out for the detect_masks /
+    stateful (X5) paths.
+
+    wm_in: int32[B] with -1 = self-detect (reference_kernels.detect_refine
+    wm_token=None). Returns (mask_flat bool, wm int32[B] (-1 = none found),
+    coverage float64[B])."""
+    p = params
+    offsets = np.asarray(offsets, dtype=_I64)
+    B = offsets.size - 1
+    lengths = np.diff(offsets)
+    row_idx = np.repeat(np.arange(B, dtype=_I64), lengths)
+    g = np.mod(np.asarray(flat), 256).astype(np.int32, copy=False)
+    wm = (np.full(B, -1, dtype=np.int32) if wm_in is None
+          else np.asarray(wm_in, dtype=np.int32).copy())
+    need = wm < 0
+    if need.any():
+        det = _detect_wm_batch(g, offsets, lengths, row_idx)
+        wm = np.where(need, det, wm)
+    wm_pos = wm[row_idx]
+    m = (np.abs(g - wm_pos) < p.color_tolerance) & (wm_pos >= 0)
+    m &= ~(g > rk.BACKGROUND_THRESHOLD)
+    if p.protect_text:
+        prot_rows = ~((wm >= rk.TEXTLIKE_LO) & (wm <= rk.TEXTLIKE_HI))
+        if prot_rows.any() and m.any():
+            tp = _text_protect_flat(g, offsets, p.text_expand)
+            m &= ~(tp & prot_rows[row_idx])
+    m = _open_flat(m, offsets, p.kernel_size, 1)
+    m = _close_flat(m, offsets, p.kernel_size, 2)
+    m = _filter_runs_flat(m, offsets, p.min_run, p.max_run)
+    cov = np.bincount(row_idx, weights=m, minlength=B) / np.maximum(lengths, 1)
+    return m, wm, cov
+
+
+def apply_mask_batch(flat: np.ndarray, mask_flat: np.ndarray,
+                     offsets: np.ndarray,
+                     params: EngineParams = DEFAULT_PARAMS) -> np.ndarray:
+    """Whole-batch K2 (inpaint + blend with a GIVEN mask): the post-join
+    stage of the stream-stream pipeline (X6 -> repair), vectorized across
+    rows. Per-row semantics == reference_kernels inpaint_1d + blend with
+    dynamic_radius; empty-mask rows pass through (P10)."""
+    p = params
+    offsets = np.asarray(offsets, dtype=_I64)
+    B = offsets.size - 1
+    lengths = np.diff(offsets)
+    row_idx = np.repeat(np.arange(B, dtype=_I64), lengths)
+    out = np.array(flat, dtype=np.int32, copy=True)
+    m = np.asarray(mask_flat, dtype=bool)
+    if not m.any():
+        return out
+    cov = np.bincount(row_idx, weights=m, minlength=B) / np.maximum(lengths, 1)
+    radius = np.maximum(
+        2, (p.inpaint_radius + cov * 10.0 * p.inpaint_strength).astype(_I64))
+    filled = out.copy()
+    _inpaint_flat(filled, m, offsets, radius)
+    if p.inpaint_strength >= rk.BLEND_FULL_STRENGTH or p.inpaint_strength == 1.0:
+        return np.where(m, filled, out)
+    bf = m.astype(np.float32) * np.float32(p.inpaint_strength)
+    res = (out.astype(np.float32) * (np.float32(1.0) - bf)
+           + filled.astype(np.float32) * bf)
+    return res.astype(np.int32)
+
+
+def flatten_arrays(series) -> tuple[np.ndarray, np.ndarray]:
+    """pandas Series of per-row arrays -> (flat, offsets). One C-level
+    concatenate, no per-element Python."""
+    arrs = series.to_numpy()
+    B = len(arrs)
+    lengths = np.fromiter((len(a) for a in arrs), dtype=_I64, count=B)
+    offsets = np.zeros(B + 1, dtype=_I64)
+    np.cumsum(lengths, out=offsets[1:])
+    if B == 0 or offsets[-1] == 0:
+        return np.empty(0, dtype=np.int32), offsets
+    flat = np.concatenate([np.asarray(a) for a in arrs])
+    return flat, offsets
+
+
 def _as_plain(col, typ):
     """Pass-through column -> exactly the declared output type (parquet scans
     hand mapInArrow dictionary-encoded strings, which Spark cannot read back

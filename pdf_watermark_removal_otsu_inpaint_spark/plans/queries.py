@@ -1775,6 +1775,121 @@ def q47(spark, sf_dir):
                 F.round(F.avg("coverage"), 6).alias("avg_coverage")))
 
 
+@q("q50_marker_merged_repair", """
+WITH pos AS (
+  SELECT doc_id, source, CAST(t.i - 1 AS BIGINT) AS p,
+         ascii(substring(text, CAST(t.i AS INT), 1)) AS g,
+         CAST(length(text) AS BIGINT) AS n
+  FROM documents, UNNEST(generate_series(1, length(text))) AS t(i)),
+hist AS (SELECT doc_id, g AS tok, MAX(n) AS n, COUNT(*) AS cnt
+         FROM pos GROUP BY doc_id, g),
+ranked AS (
+  SELECT doc_id, tok, cnt, n, cnt * 100.0 / n AS coverage_pct,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, tok DESC) AS rnk
+  FROM hist),
+wm AS (
+  SELECT doc_id, tok AS wm_token FROM (
+    SELECT doc_id, tok, rnk,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY rnk) AS pick
+    FROM ranked
+    WHERE rnk <= 10 AND tok BETWEEN 100 AND 250
+      AND coverage_pct BETWEEN 1 AND 20) s
+  WHERE pick = 1),
+raw AS (
+  SELECT p.doc_id, p.p, p.n FROM pos p JOIN wm ON wm.doc_id = p.doc_id
+  WHERE ABS(p.g - wm.wm_token) < 30 AND p.g <= 250),
+m1_sp AS (
+  SELECT doc_id, MAX(n) AS n, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM raw) x GROUP BY doc_id, isl),
+m1_e AS (
+  SELECT doc_id, n,
+         CASE WHEN s=0 THEN 0 ELSE s+1 END AS s,
+         CASE WHEN e=n THEN n ELSE e-1 END AS e
+  FROM m1_sp
+  WHERE (CASE WHEN s=0 THEN 0 ELSE s+1 END)
+      < (CASE WHEN e=n THEN n ELSE e-1 END)),
+m1 AS (
+  SELECT DISTINCT doc_id, n,
+         UNNEST(generate_series(GREATEST(s-1,0), LEAST(e+1,n)-1)) AS p
+  FROM m1_e),
+m2_sp AS (
+  SELECT doc_id, MAX(n) AS n, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM m1) x GROUP BY doc_id, isl),
+m2_d AS (
+  SELECT DISTINCT doc_id, n,
+         UNNEST(generate_series(GREATEST(s-2,0), LEAST(e+2,n)-1)) AS p
+  FROM m2_sp),
+m3_sp AS (
+  SELECT doc_id, MAX(n) AS n, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM m2_d) x GROUP BY doc_id, isl),
+m3_e AS (
+  SELECT doc_id, n,
+         CASE WHEN s=0 THEN 0 ELSE s+2 END AS s,
+         CASE WHEN e=n THEN n ELSE e-2 END AS e
+  FROM m3_sp
+  WHERE (CASE WHEN s=0 THEN 0 ELSE s+2 END)
+      < (CASE WHEN e=n THEN n ELSE e-2 END)),
+m3 AS (SELECT DISTINCT doc_id, n,
+              UNNEST(generate_series(s, e-1)) AS p FROM m3_e),
+runs AS (
+  SELECT doc_id, MIN(p) AS s, MAX(p)+1 AS e, COUNT(*) AS ln FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM m3) x GROUP BY doc_id, isl),
+det_pos AS (
+  SELECT DISTINCT doc_id, UNNEST(generate_series(s, e-1)) AS p
+  FROM runs WHERE ln BETWEEN 5 AND 5000),
+marker AS (  -- marker-span stand-in: first 'hash' keyword occurrence + 24
+  SELECT doc_id, strpos(text, 'hash') AS sp, CAST(length(text) AS BIGINT) AS n
+  FROM documents),
+span_pos AS (
+  SELECT doc_id, UNNEST(generate_series(sp - 1, LEAST(sp - 1 + 24, n) - 1)) AS p
+  FROM marker WHERE sp > 0),
+merged AS (
+  SELECT doc_id, p FROM det_pos UNION SELECT doc_id, p FROM span_pos),
+counts AS (
+  SELECT d.doc_id,
+         (SELECT COUNT(*) FROM det_pos dp WHERE dp.doc_id = d.doc_id) AS dc,
+         (SELECT COUNT(*) FROM span_pos sp WHERE sp.doc_id = d.doc_id) AS sc,
+         (SELECT COUNT(*) FROM merged m WHERE m.doc_id = d.doc_id) AS mc
+  FROM documents d)
+SELECT c.doc_id, d.source,
+       CAST(c.dc AS INT) AS detect_cnt,
+       CAST(c.sc AS INT) AS span_cnt,
+       CAST(c.mc AS INT) AS merged_cnt
+FROM counts c JOIN documents d ON d.doc_id = c.doc_id
+""")
+def q50(spark, sf_dir):
+    """J3 composed: marker-span mask merged into the watermark detect mask,
+    repaired once (qr_detector.py:373-400 span construction;
+    watermark_detector.py:689-694 wm_mask |= qr_mask). The marker region is
+    a deterministic keyword stand-in (first 'hash' occurrence + 24 chars —
+    the QR decoder isn't in scope, the MERGE semantics are). The oracle
+    re-derives detect positions relationally (q41 chain) and unions the
+    span; per-row merged-mask counts must match. Merged-repair token values
+    are pinned by tests/test_engine_parity.py property tests."""
+    from ..operators.repair import repair_with_marker_spans
+    from ..params import DEFAULT_PARAMS
+    d = t(spark, sf_dir, "documents")
+    loc = F.locate("hash", F.col("text"))
+    n = F.length("text")
+    toks = F.transform(F.split("text", ""), lambda c: F.ascii(c))
+    df = d.select(
+        "doc_id", "source", toks.alias("tokens"),
+        F.when(loc > 0, loc - 1).alias("marker_lo"),
+        F.when(loc > 0, F.least(loc - 1 + 24, n)).alias("marker_hi"))
+    out = repair_with_marker_spans(df, DEFAULT_PARAMS.with_(min_run=5))
+    return out.select("doc_id", "source", "detect_cnt", "span_cnt",
+                      "merged_cnt")
+
+
 @q("q48_relational_detect_mask", """
 WITH pos AS (
   SELECT vec_id, i AS p,

@@ -13,6 +13,52 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _ensure_protobuf_shim() -> None:
+    """transformWithStateInPandas (state API v2) spawns a driver-side Python
+    worker that imports google.protobuf, with a strict runtime >= gencode
+    version check against Spark's StateMessage_pb2. This image has no
+    protobuf on sys.path, but the host's Google Cloud SDK ships a vendored
+    modern copy (6.32) — one minor behind Spark 4.1's gencode (6.33), so the
+    shim also lifts the declared runtime minor (StateMessage.proto uses no
+    6.33-only feature). No-op wherever protobuf is properly installed (any
+    real deployment); the copy is built once under the system temp dir with
+    an atomic rename so concurrent sessions can't half-read it."""
+    try:
+        import google.protobuf  # noqa: F401
+        return
+    except ImportError:
+        pass
+    vendored = ("/usr/lib/google-cloud-sdk/platform/google_appengine/"
+                "google/protobuf")
+    if not os.path.isdir(vendored):
+        return
+    import shutil
+    import sys
+    import tempfile
+    shim = os.path.join(tempfile.gettempdir(), "pdf_wm_proto_shim")
+    if not os.path.isdir(os.path.join(shim, "google", "protobuf")):
+        build = tempfile.mkdtemp(prefix="pdf_wm_proto_shim_")
+        os.makedirs(os.path.join(build, "google"), exist_ok=True)
+        open(os.path.join(build, "google", "__init__.py"), "w").close()
+        shutil.copytree(vendored, os.path.join(build, "google", "protobuf"))
+        rv = os.path.join(build, "google", "protobuf", "runtime_version.py")
+        with open(rv) as f:
+            src = f.read()
+        src = src.replace("OSS_MINOR = 32", "OSS_MINOR = 99")
+        src = src.replace("OSS_SUFFIX = '-dev'", "OSS_SUFFIX = ''")
+        with open(rv, "w") as f:
+            f.write(src)
+        try:
+            os.rename(build, shim)
+        except OSError:  # another process won the race
+            shutil.rmtree(build, ignore_errors=True)
+    cur = os.environ.get("PYTHONPATH", "")
+    if shim not in cur.split(os.pathsep):
+        os.environ["PYTHONPATH"] = cur + (os.pathsep if cur else "") + shim
+    if shim not in sys.path:
+        sys.path.append(shim)
+
+
 def get_spark(app_name: str = "pdf-wm-token-engine", cpus: int | None = None,
               shuffle_partitions: int | None = None,
               extra_conf: dict | None = None) -> SparkSession:
@@ -23,6 +69,7 @@ def get_spark(app_name: str = "pdf-wm-token-engine", cpus: int | None = None,
     cur = os.environ.get("PYTHONPATH", "")
     if repo_root not in cur.split(os.pathsep):
         os.environ["PYTHONPATH"] = repo_root + (os.pathsep + cur if cur else "")
+    _ensure_protobuf_shim()
 
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cpus, 8)

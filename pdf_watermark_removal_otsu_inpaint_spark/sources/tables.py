@@ -12,8 +12,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg runtime is on the JVM classpath. NB: py4j
+    attribute access (spark._jvm.org.apache.iceberg.Table) returns a
+    JavaPackage stub for MISSING classes instead of raising — probe through
+    Class.forName, which actually loads the class or throws."""
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")
         return True
     except Exception:
         return False

@@ -102,3 +102,75 @@ class ExactlyOnceParquetSink:
             raise ValueError("no committed batches")
         return spark.read.option("basePath", f"{self.out_dir}/metrics") \
             .parquet(*paths)
+
+
+class IcebergMergeSink:
+    """Exactly-once sink on an Iceberg catalog: per-batch MERGE on the sink
+    key + a committed-batch ledger table (the production path the parquet
+    commit-marker sink emulates; reference sink analogue
+    pdf_processor.py:130-155).
+
+    Protocol per micro-batch N:
+    1. ledger lookup: if N is in `<table>_commits`, the batch already
+       committed fully — no-op (foreachBatch replay).
+    2. MERGE INTO <table> ON the sink key — UPDATE on match, INSERT
+       otherwise. MERGE is snapshot-atomic in Iceberg and idempotent under
+       replay (a matched row updates to identical values), so a crash
+       between MERGE and the ledger write re-runs safely.
+    3. append (batch_id, rows) to the ledger — the commit point.
+
+    Requires an Iceberg catalog (sources.tables.iceberg_available); the
+    factory `make_sink` picks this class only when one exists.
+    """
+
+    def __init__(self, table: str,
+                 key_cols: tuple[str, ...] = ("doc_id", "seq_no")):
+        self.table = table
+        self.key_cols = list(key_cols)
+        self.ledger = f"{table}_commits"
+
+    def merge_sql(self, updates_view: str = "_updates") -> str:
+        on = " AND ".join(f"t.{c} = u.{c}" for c in self.key_cols)
+        return (f"MERGE INTO {self.table} t USING {updates_view} u ON {on} "
+                f"WHEN MATCHED THEN UPDATE SET * "
+                f"WHEN NOT MATCHED THEN INSERT *")
+
+    def _ensure_tables(self, spark: SparkSession, batch_df: DataFrame) -> None:
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                        for f in batch_df.schema.fields)
+        spark.sql(f"CREATE TABLE IF NOT EXISTS {self.table} ({ddl}) "
+                  f"USING iceberg")
+        spark.sql(f"CREATE TABLE IF NOT EXISTS {self.ledger} "
+                  f"(batch_id BIGINT, rows BIGINT) USING iceberg")
+
+    def is_committed(self, spark: SparkSession, batch_id: int) -> bool:
+        try:
+            return (spark.table(self.ledger)
+                    .where(F.col("batch_id") == batch_id).limit(1)
+                    .count() > 0)
+        except Exception:
+            return False  # ledger not created yet -> nothing committed
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if self.is_committed(spark, batch_id):
+            return
+        self._ensure_tables(spark, batch_df)
+        deduped = batch_df.dropDuplicates(self.key_cols)
+        view = f"_updates_b{batch_id}"
+        deduped.createOrReplaceTempView(view)
+        spark.sql(self.merge_sql(view))
+        n = spark.table(self.table).count()
+        spark.sql(f"INSERT INTO {self.ledger} VALUES "
+                  f"({int(batch_id)}, {int(n)})")
+
+
+def make_sink(out: str, spark: SparkSession,
+              key_cols: tuple[str, ...] = ("doc_id", "seq_no")):
+    """Pick the sink for a destination: Iceberg MERGE when `out` names a
+    catalog table and a catalog exists, commit-marker parquet otherwise —
+    same exactly-once contract either way."""
+    from ..sources.tables import iceberg_available
+    if "/" not in out and iceberg_available(spark):
+        return IcebergMergeSink(out, key_cols)
+    return ExactlyOnceParquetSink(out, key_cols)

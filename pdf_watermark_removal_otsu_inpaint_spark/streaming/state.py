@@ -24,28 +24,45 @@ def make_stateful_detect(params: EngineParams = DEFAULT_PARAMS):
     p = params
 
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-        from .. import reference_kernels as rk
+        # whole-batch vectorized: the cache-once carry-over (the reference's
+        # self.watermark_color, watermark_detector.py:562-568) is resolved as
+        # a prefix rule over the batch — rows after the FIRST self-detecting
+        # row inherit its token; detection itself runs on the flat buffer
+        from ..operators.repair_vectorized import (_detect_wm_batch,
+                                                   detect_batch,
+                                                   flatten_arrays)
         source, doc_id = key
         wm, rows_seen = (state.get if state.exists else (None, 0))
         for pdf in pdf_iter:
-            masks, wms, covs, froms = [], [], [], []
-            for arr in pdf["tokens"]:
-                a = np.asarray(arr, dtype=np.int64)
-                from_state = wm is not None
-                mask, wfound = rk.detect_refine(
-                    a, wm, p.color_tolerance, p.kernel_size, p.protect_text,
-                    p.text_expand, p.min_run, p.max_run)
-                if wm is None and wfound is not None:
-                    wm = int(wfound)  # cache-once, like the reference
-                masks.append(mask.tolist())
-                wms.append(wfound if wfound is not None else wm)
-                covs.append(rk.coverage(mask))
-                froms.append(from_state)
-                rows_seen += 1
+            B = len(pdf)
+            flat, offsets = flatten_arrays(pdf["tokens"])
+            flat = np.ascontiguousarray(flat, dtype=np.int32)
+            if wm is not None:
+                wm_used = np.full(B, wm, dtype=np.int32)
+                froms = np.ones(B, dtype=bool)
+            else:
+                g = np.mod(flat, 256).astype(np.int32, copy=False)
+                lengths = np.diff(offsets)
+                row_idx = np.repeat(np.arange(B, dtype=np.int64), lengths)
+                det = _detect_wm_batch(g, offsets, lengths, row_idx)
+                wm_used = det.copy()
+                froms = np.zeros(B, dtype=bool)
+                found = np.flatnonzero(det >= 0)
+                if found.size:
+                    first = found[0]
+                    wm_used[first + 1:] = det[first]  # cache-once
+                    froms[first + 1:] = True
+                    wm = int(det[first])
+            mask_flat, wm_out, covs = detect_batch(flat, offsets, p,
+                                                   wm_in=wm_used)
+            rows_seen += B
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"], "seq_no": pdf["seq_no"],
                 "event_ts": pdf["event_ts"], "source": pdf["source"],
-                "mask": masks, "wm_token": wms, "coverage": covs,
+                "mask": [mask_flat[offsets[i]:offsets[i + 1]]
+                         for i in range(B)],
+                "wm_token": [None if w < 0 else int(w) for w in wm_out],
+                "coverage": covs,
                 "from_state": froms,
             })
         state.update((wm, rows_seen))

@@ -201,3 +201,41 @@ def test_otsu_repair_matches_kernel(spark, seq_df, seq_rows):
             radius = rk.dynamic_radius(rk.coverage(mask), 2, 1.0)
             exp = rk.blend(a, rk.inpaint_1d(a, mask, radius), mask, 1.0)
         assert g.tokens == exp.astype(np.int32).tolist()
+
+
+def test_marker_span_merge_properties(spark, seq_df, seq_rows):
+    """J3 merged-mask semantics (reference tests/test_qr_detection.py:104-123
+    analogue): merged ⊇ detect mask, merged ⊇ span mask, repair touches only
+    merged positions, untouched positions are identical to the input."""
+    from pdf_watermark_removal_otsu_inpaint_spark.operators.repair import (
+        repair_with_marker_spans)
+    # deterministic marker span per row: [10, 40) on every row
+    df = seq_df.withColumn("marker_lo", F.lit(10)) \
+               .withColumn("marker_hi", F.lit(40))
+    out = {(r.doc_id, r.seq_no): r
+           for r in repair_with_marker_spans(df).collect()}
+    assert len(out) == len(seq_rows)
+    for row in seq_rows:
+        g = out[(row["doc_id"], row["seq_no"])]
+        det = np.array(g.detect_mask, dtype=bool)
+        merged = np.array(g.merged_mask, dtype=bool)
+        n = det.size
+        span = np.zeros(n, dtype=bool)
+        span[10:40] = True
+        # merged is exactly the OR, hence superset of both inputs
+        assert (merged == (det | span)).all()
+        assert g.detect_cnt == int(det.sum())
+        assert g.span_cnt == 30
+        assert g.merged_cnt == int(merged.sum())
+        # repair only inside the merged mask: outside positions untouched
+        orig = np.array(row["tokens"])
+        rep = np.array(g.tokens)
+        assert (rep[~merged] == orig[~merged]).all()
+        # and equals the kernel's single-pass repair with the merged mask
+        if merged.any():
+            radius = rk.dynamic_radius(rk.coverage(merged), 2, 1.0)
+            exp = rk.blend(orig, rk.inpaint_1d(orig, merged, radius),
+                           merged, 1.0)
+        else:
+            exp = orig
+        assert rep.tolist() == exp.astype(np.int64).tolist()

@@ -396,8 +396,12 @@ def test_observe_metrics_surface_in_progress(spark, tmp_path):
 
 def _tws_available(spark, tmp_path) -> bool:
     """transformWithStateInPandas needs its driver-side python worker, which
-    crashes in this image (minimal example fails with XXKST before user code
-    runs) — probe once and skip, like the Iceberg jar gate."""
+    requires google.protobuf at runtime >= Spark's StateMessage_pb2 gencode
+    (6.33 for Spark 4.1). session._ensure_protobuf_shim provides it in this
+    image; elsewhere a missing/old protobuf crashes the worker with XXKST
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE: ImportError
+    google.protobuf.descriptor) before user code runs — probe once and skip,
+    like the Iceberg jar gate."""
     import glob
     import pandas as _pd
 
@@ -494,3 +498,30 @@ def test_rate_stream_produces_sequences(spark):
         rows = spark.sql("SELECT count(*) FROM rate_smoke").collect()[0][0]
     q.stop()
     assert rows > 0
+
+
+def test_make_sink_contract(spark, tmp_path):
+    """Sink factory: parquet fallback in this image (no Iceberg jars), and
+    the MERGE path's SQL carries the exactly-once contract — keyed ON
+    (doc_id, seq_no), UPDATE on match, INSERT otherwise."""
+    from pdf_watermark_removal_otsu_inpaint_spark.sources.tables import (
+        iceberg_available)
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.sink import (
+        ExactlyOnceParquetSink, IcebergMergeSink, make_sink)
+    # this image has no Iceberg runtime: path destinations AND catalog names
+    # both degrade to the commit-marker parquet sink
+    assert not iceberg_available(spark)
+    assert isinstance(make_sink(str(tmp_path / "out"), spark),
+                      ExactlyOnceParquetSink)
+    assert isinstance(make_sink("cat.db.repaired", spark),
+                      ExactlyOnceParquetSink)
+    # the MERGE statement itself (exercised the day a catalog exists)
+    m = IcebergMergeSink("cat.db.repaired")
+    sql = m.merge_sql()
+    assert "MERGE INTO cat.db.repaired t" in sql
+    assert "t.doc_id = u.doc_id AND t.seq_no = u.seq_no" in sql
+    assert "WHEN MATCHED THEN UPDATE SET *" in sql
+    assert "WHEN NOT MATCHED THEN INSERT *" in sql
+    assert m.ledger == "cat.db.repaired_commits"
+    # replay guard: unknown ledger -> not committed (first run proceeds)
+    assert m.is_committed(spark, 0) is False
