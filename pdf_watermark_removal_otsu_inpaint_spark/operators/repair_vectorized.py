@@ -53,48 +53,141 @@ def _spans_rowwise(m: np.ndarray, offsets: np.ndarray):
     return starts, ends, rows
 
 
+def _merge_spans(lo: np.ndarray, hi: np.ndarray):
+    """Union of spans sorted by start: O(#spans) cummax group-merge.
+    Overlapping or touching spans fuse into one."""
+    if lo.size <= 1:
+        return lo, hi
+    cm = np.maximum.accumulate(hi)
+    new = np.empty(lo.size, dtype=bool)
+    new[0] = True
+    new[1:] = lo[1:] > cm[:-1]
+    if new.all():
+        return lo, hi
+    return lo[new], np.maximum.reduceat(hi, np.flatnonzero(new))
+
+
 def _write_spans(lo: np.ndarray, hi: np.ndarray, n: int) -> np.ndarray:
-    """Span table -> flat bool mask via delta + cumsum (overlap-safe)."""
-    delta = np.zeros(n + 1, dtype=np.int32)
-    np.add.at(delta, lo, 1)
-    np.add.at(delta, hi, -1)
-    return np.cumsum(delta[:n]) > 0
+    """Span table -> flat bool mask: merge overlaps in span space (cheap
+    cummax over #spans), then one bool XOR-accumulate over the flat length —
+    ~5x cheaper than the int32 delta+cumsum it replaced (the cumsum was 51%
+    of whole-kernel time; BENCH.md bandwidth note)."""
+    if lo.size == 0:
+        return np.zeros(n, dtype=bool)
+    keep = lo < hi
+    if not keep.all():
+        lo, hi = lo[keep], hi[keep]
+        if lo.size == 0:
+            return np.zeros(n, dtype=bool)
+    lo, hi = _merge_spans(lo, hi)
+    # after the merge boundaries are strictly interleaved
+    # (lo[i] < hi[i] < lo[i+1]), so one flip per index is exact parity
+    d = np.zeros(n + 1, dtype=bool)
+    d[lo] = True
+    d[hi] = True
+    return np.logical_xor.accumulate(d[:n])
 
 
-def _dilate_flat(m, offsets, k, iters=1):
-    if k <= 1 or iters <= 0:
-        return m.copy()
+# ---------------------------------------------------------------------------
+# Span-space morphology: the whole open/close/run-filter chain runs on the
+# (start, end, row) table — O(#spans) per op, no flat-array passes. Masks are
+# materialized only at the chain's boundaries (raw-mask compares in, optional
+# final mask out), which is where the kernel's memory traffic went (BENCH.md).
+# ---------------------------------------------------------------------------
+def _span_merge_rowwise(lo, hi, rows):
+    """Union of per-row spans, never fusing across row boundaries: merge in
+    a translated space (pos + row) where consecutive rows are separated by
+    one unit, so in-row touching spans fuse but cross-row touching don't."""
+    if lo.size <= 1:
+        return lo, hi, rows
+    tl = lo + rows
+    th = hi + rows
+    cm = np.maximum.accumulate(th)
+    new = np.empty(lo.size, dtype=bool)
+    new[0] = True
+    new[1:] = tl[1:] > cm[:-1]
+    if new.all():
+        return lo, hi, rows
+    rows2 = rows[new]
+    return lo[new], np.maximum.reduceat(th, np.flatnonzero(new)) - rows2, rows2
+
+
+def _span_dilate(s, e, rows, offsets, k, iters=1):
+    if k <= 1 or iters <= 0 or s.size == 0:
+        return s, e, rows
     left, right = (k - 1) // 2, k // 2
-    s, e, rows = _spans_rowwise(m, offsets)
-    if s.size == 0:
-        return m.copy()
     row_lo, row_hi = offsets[rows], offsets[rows + 1]
     lo = np.maximum(s - right * iters, row_lo)
     hi = np.minimum(e + left * iters, row_hi)
-    return _write_spans(lo, hi, m.size)
+    return _span_merge_rowwise(lo, hi, rows)
+
+
+def _span_erode(s, e, rows, offsets, k, iters=1):
+    """Erode non-overlapping sorted spans. True padding outside each ROW:
+    spans touching a row edge keep that edge (cv2 border convention)."""
+    if k <= 1 or iters <= 0 or s.size == 0:
+        return s, e, rows
+    left, right = (k - 1) // 2, k // 2
+    row_lo, row_hi = offsets[rows], offsets[rows + 1]
+    lo = np.where(s == row_lo, row_lo, s + left * iters)
+    hi = np.where(e == row_hi, row_hi, e - right * iters)
+    keep = lo < hi
+    return lo[keep], hi[keep], rows[keep]
+
+
+def _span_open(s, e, rows, offsets, k, iters=1):
+    return _span_dilate(*_span_erode(s, e, rows, offsets, k, iters),
+                        offsets, k, iters)
+
+
+def _span_close(s, e, rows, offsets, k, iters=1):
+    return _span_erode(*_span_dilate(s, e, rows, offsets, k, iters),
+                       offsets, k, iters)
+
+
+def _span_filter_runs(s, e, rows, min_run, max_run):
+    if s.size == 0:
+        return s, e, rows
+    ln = e - s
+    keep = (ln >= min_run) & (ln <= max_run)
+    return s[keep], e[keep], rows[keep]
+
+
+# Flat-mask wrappers (kept for the mask-space callers: text protection and
+# the detection chain's final mask materialization)
+def _dilate_flat(m, offsets, k, iters=1):
+    if k <= 1 or iters <= 0:
+        return m.copy()
+    s, e, rows = _spans_rowwise(m, offsets)
+    if s.size == 0:
+        return m.copy()
+    s, e, rows = _span_dilate(s, e, rows, offsets, k, iters)
+    return _write_spans(s, e, m.size)
 
 
 def _erode_flat(m, offsets, k, iters=1):
     if k <= 1 or iters <= 0:
         return m.copy()
-    left, right = (k - 1) // 2, k // 2
     s, e, rows = _spans_rowwise(m, offsets)
     if s.size == 0:
         return m.copy()
-    row_lo, row_hi = offsets[rows], offsets[rows + 1]
-    # True padding outside each ROW: spans touching a row edge keep it
-    lo = np.where(s == row_lo, row_lo, s + left * iters)
-    hi = np.where(e == row_hi, row_hi, e - right * iters)
-    keep = lo < hi
-    return _write_spans(lo[keep], hi[keep], m.size)
+    s, e, rows = _span_erode(s, e, rows, offsets, k, iters)
+    return _write_spans(s, e, m.size)
 
 
 def _open_flat(m, offsets, k, iters=1):
-    return _dilate_flat(_erode_flat(m, offsets, k, iters), offsets, k, iters)
+    s, e, rows = _spans_rowwise(m, offsets)
+    if s.size == 0:
+        return m.copy()
+    return _write_spans(*_span_open(s, e, rows, offsets, k, iters)[:2], m.size)
 
 
 def _close_flat(m, offsets, k, iters=1):
-    return _erode_flat(_dilate_flat(m, offsets, k, iters), offsets, k, iters)
+    s, e, rows = _spans_rowwise(m, offsets)
+    if s.size == 0:
+        return m.copy()
+    return _write_spans(*_span_close(s, e, rows, offsets, k, iters)[:2],
+                        m.size)
 
 
 def _filter_runs_flat(m, offsets, min_run, max_run):
@@ -123,14 +216,19 @@ def _detect_wm_batch(g, offsets, lengths, row_idx):
 
 def _text_protect_flat(g, offsets, expand):
     core = g < rk.TEXT_CORE_THRESHOLD
+    s, e, rows = _spans_rowwise(core, offsets)
+    if s.size == 0:
+        return core
     if expand > 0:
-        core = _dilate_flat(core, offsets, 2 * expand + 1, 1)
-    return _open_flat(core, offsets, rk.TEXT_CLEAN_KERNEL, 1)
+        s, e, rows = _span_dilate(s, e, rows, offsets, 2 * expand + 1, 1)
+    s, e, rows = _span_open(s, e, rows, offsets, rk.TEXT_CLEAN_KERNEL, 1)
+    return _write_spans(s, e, g.size)
 
 
-def _inpaint_flat(out, m, offsets, radius_per_row):
-    """Vectorized inpaint_1d over all masked spans; writes into `out`."""
-    s, e, rows = _spans_rowwise(m, offsets)
+def _inpaint_spans(out, s, e, rows, offsets, radius_per_row):
+    """Vectorized inpaint_1d over a span table; scatters into `out`.
+    Masked positions come straight from the spans (repeat + offset arange) —
+    no flatnonzero over the flat mask, no per-position searchsorted."""
     if s.size == 0:
         return
     row_lo, row_hi = offsets[rows], offsets[rows + 1]
@@ -139,8 +237,14 @@ def _inpaint_flat(out, m, offsets, radius_per_row):
     L = np.where(has_l, out[np.maximum(s - 1, 0)], 0).astype(_I64)
     R = np.where(has_r, out[np.minimum(e, out.size - 1)], 0).astype(_I64)
 
-    P = np.flatnonzero(m).astype(_I64)
-    sp = np.searchsorted(s, P, side="right") - 1     # span id per position
+    ln = e - s
+    total = int(ln.sum())
+    if total == 0:
+        return
+    sp = np.repeat(np.arange(s.size, dtype=_I64), ln)
+    base = np.zeros(s.size, dtype=_I64)
+    np.cumsum(ln[:-1], out=base[1:])
+    P = np.arange(total, dtype=_I64) - base[sp] + s[sp]
     dl = P - (s[sp] - 1)
     dr = e[sp] - P
     Lp, Rp = L[sp], R[sp]
@@ -155,6 +259,27 @@ def _inpaint_flat(out, m, offsets, radius_per_row):
     out[P] = v.astype(out.dtype)
 
 
+def _inpaint_flat(out, m, offsets, radius_per_row):
+    """Mask-input wrapper around _inpaint_spans (apply_mask_batch path)."""
+    s, e, rows = _spans_rowwise(m, offsets)
+    _inpaint_spans(out, s, e, rows, offsets, radius_per_row)
+
+
+def _row_sums(m: np.ndarray, offsets: np.ndarray,
+              lengths: np.ndarray) -> np.ndarray:
+    """Per-row True counts of a flat bool mask — add.reduceat (no float64
+    weight conversion, no int64 row-index gather like bincount needs).
+    reduceat mis-handles empty rows (idx[i] == idx[i+1] yields m[idx[i]]),
+    so zero them explicitly."""
+    if m.size == 0:
+        return np.zeros(lengths.size, dtype=_I64)
+    s = np.add.reduceat(m, np.minimum(offsets[:-1], m.size - 1),
+                        dtype=_I64)
+    if (lengths == 0).any():
+        s = np.where(lengths == 0, 0, s)
+    return s
+
+
 def repair_batch(flat: np.ndarray, offsets: np.ndarray,
                  params: EngineParams = DEFAULT_PARAMS,
                  wm_in: np.ndarray | None = None):
@@ -162,69 +287,94 @@ def repair_batch(flat: np.ndarray, offsets: np.ndarray,
 
     flat: int32 concatenated tokens; offsets: int64 (B+1).
     Returns (out_flat int32, coverage float64[B], wm int32[B] (-1=none),
-    pass_count int32[B])."""
+    pass_count int32[B]).
+
+    Memory-traffic-minimized (the VM's DRAM bandwidth is the scaling
+    ceiling, BENCH.md): value classes live in uint8 (int32 low byte == mod
+    256), the raw mask is two uint8 range compares against per-row repeated
+    byte bounds (no int32 |g-wm| temp, no int64 row-index gathers), per-row
+    counts go through add.reduceat, and for full-strength blends the inpaint
+    scatters straight into the output buffer (no `filled` copy, no
+    np.where pass)."""
     p = params
     offsets = np.asarray(offsets, dtype=_I64)
     B = offsets.size - 1
     lengths = np.diff(offsets)
-    row_idx = np.repeat(np.arange(B, dtype=_I64), lengths)
     out = np.array(flat, dtype=np.int32, copy=True)
     wm = (np.full(B, -1, dtype=np.int32) if wm_in is None
           else np.asarray(wm_in, dtype=np.int32).copy())
     first_cov = np.zeros(B)
     n_passes = np.zeros(B, dtype=np.int32)
     active = np.ones(B, dtype=bool)
+    full_strength = (p.inpaint_strength >= rk.BLEND_FULL_STRENGTH
+                     or p.inpaint_strength == 1.0)
 
     for pass_num in range(p.passes):
         if not active.any():
             break
-        g = np.mod(out, 256).astype(np.int32, copy=False)
+        g = out.astype(np.uint8)  # low byte == np.mod(out, 256)
         need = wm < 0
         if need.any():
+            row_idx = np.repeat(np.arange(B, dtype=_I64), lengths)
             det = _detect_wm_batch(g, offsets, lengths, row_idx)
             wm = np.where(need, det, wm)
-        # raw mask: |g - wm_row| < tol, only rows with a wm and still active
-        wm_pos = wm[row_idx]
-        act_pos = active[row_idx]
-        m = (np.abs(g - wm_pos) < p.color_tolerance) \
-            & (wm_pos >= 0) & act_pos  # int32 throughout, values 0..255
-        m &= ~(g > rk.BACKGROUND_THRESHOLD)
+        # raw mask: |g - wm| < tol as a uint8 interval test; rows with no wm
+        # (or already converged) get an empty interval (lo=1 > hi=0)
+        valid = active & (wm >= 0)
+        lo_b = np.where(valid, np.clip(wm - (p.color_tolerance - 1), 0, 255),
+                        1).astype(np.uint8)
+        hi_b = np.where(valid, np.clip(wm + (p.color_tolerance - 1), 0, 255),
+                        0).astype(np.uint8)
+        m = (g >= np.repeat(lo_b, lengths)) & (g <= np.repeat(hi_b, lengths))
+        m &= g <= rk.BACKGROUND_THRESHOLD  # P3: protect g > 250
         if p.protect_text:
             # protection applies per row unless wm is text-like
             prot_rows = ~((wm >= rk.TEXTLIKE_LO) & (wm <= rk.TEXTLIKE_HI))
             if prot_rows.any() and m.any():
                 tp = _text_protect_flat(g, offsets, p.text_expand)
-                m &= ~(tp & prot_rows[row_idx])
-        m = _open_flat(m, offsets, p.kernel_size, 1)
-        m = _close_flat(m, offsets, p.kernel_size, 2)
-        m = _filter_runs_flat(m, offsets, p.min_run, p.max_run)
+                m &= ~(tp & np.repeat(prot_rows, lengths))
+        # morphology + run filter stay in span space: one extraction, no
+        # flat-array passes until the (optional) final mask write
+        s, e, rows = _spans_rowwise(m, offsets)
+        s, e, rows = _span_open(s, e, rows, offsets, p.kernel_size, 1)
+        s, e, rows = _span_close(s, e, rows, offsets, p.kernel_size, 2)
+        s, e, rows = _span_filter_runs(s, e, rows, p.min_run, p.max_run)
 
-        nonzero = np.bincount(row_idx, weights=m, minlength=B) > 0
-        newly_done = active & ~nonzero
-        active &= nonzero
+        masked_per_row = np.zeros(B, dtype=_I64)
+        np.add.at(masked_per_row, rows, e - s)
+        active &= masked_per_row > 0
         if not active.any():
             break
-        m &= active[row_idx]
+        keep = active[rows]
+        if not keep.all():
+            s, e, rows = s[keep], e[keep], rows[keep]
         if pass_num > 0:
-            m = _dilate_flat(m, offsets, rk.MULTIPASS_DILATE_KERNEL, 1)
-        cov = np.bincount(row_idx, weights=m, minlength=B) / lengths
+            s, e, rows = _span_dilate(s, e, rows, offsets,
+                                      rk.MULTIPASS_DILATE_KERNEL, 1)
+            masked_per_row = np.zeros(B, dtype=_I64)
+            np.add.at(masked_per_row, rows, e - s)
+        else:
+            masked_per_row = np.where(active, masked_per_row, 0)
+        cov = masked_per_row / np.maximum(lengths, 1)
         if pass_num == 0:
             first_cov = np.where(active, cov, 0.0)
         n_passes += active.astype(np.int32)
         radius = np.maximum(
             2, (p.inpaint_radius + cov * 10.0 * p.inpaint_strength)
             .astype(_I64))
-        filled = out.copy()
-        _inpaint_flat(filled, m, offsets, radius)
-        if p.inpaint_strength >= rk.BLEND_FULL_STRENGTH or \
-           p.inpaint_strength == 1.0:
-            out = np.where(m, filled, out)
+        if full_strength:
+            # result == filled on mask, orig elsewhere: scatter in place
+            # (inpaint reads boundaries from UNMASKED positions and the
+            # whole-row-masked fallback gathers before the scatter)
+            _inpaint_spans(out, s, e, rows, offsets, radius)
         else:
-            bf = m.astype(np.float32) * np.float32(p.inpaint_strength)
+            mfin = _write_spans(s, e, out.size)
+            filled = out.copy()
+            _inpaint_spans(filled, s, e, rows, offsets, radius)
+            bf = mfin.astype(np.float32) * np.float32(p.inpaint_strength)
             res = (out.astype(np.float32) * (np.float32(1.0) - bf)
                    + filled.astype(np.float32) * bf)
             out = res.astype(np.int32)
-        _ = newly_done
     return out, first_cov, wm, n_passes
 
 
@@ -409,13 +559,15 @@ def repair_sequences_arrow_packed(df, params: EngineParams = DEFAULT_PARAMS):
             data = np.frombuffer(col.buffers()[2], dtype=np.int32)
             base = byte_offsets[0] // 4
             offsets = byte_offsets // 4 - base
+            # read-only frombuffer view goes straight in: repair_batch copies
+            # into its output buffer and never mutates the input
             flat = data[base:base + offsets[-1]]
-            out, cov, wm, npass = repair_batch(
-                np.ascontiguousarray(flat, dtype=np.int32), offsets, p)
+            out, cov, wm, npass = repair_batch(flat, offsets, p)
+            # zero-copy out: py_buffer wraps the numpy arrays directly
             out_bin = pa.BinaryArray.from_buffers(
                 pa.binary(), len(col),
-                [None, pa.py_buffer((offsets * 4).astype(np.int32).tobytes()),
-                 pa.py_buffer(out.tobytes())])
+                [None, pa.py_buffer((offsets * 4).astype(np.int32)),
+                 pa.py_buffer(out)])
             wm_arr = pa.array(np.where(wm < 0, None, wm).tolist(),
                               type=pa.int32())
             yield pa.RecordBatch.from_arrays(
