@@ -86,6 +86,15 @@ def span_mask(n_tok: Column, lo: Column, hi: Column) -> Column:
                        lambda i: (i >= lo) & (i < hi))
 
 
+# --- U3: instance-mask max-combine (yolo_detector.py:224-230:
+#     np.max(masks, axis=0) unions per-instance masks) ------------------------
+def mask_max_combine(masks: Column, n_tok: Column) -> Column:
+    """array<array<boolean>> -> positionwise union. Pure Catalyst fold:
+    aggregate over the instance list with a zip_with OR combiner."""
+    zero = F.transform(F.sequence(F.lit(0), n_tok - 1), lambda _: F.lit(False))
+    return F.aggregate(masks, zero, mask_or)
+
+
 # --- F2: per-row token mean (saturation-mean analogue, :503) ------------------
 def token_mean(tokens: Column, n_tok: Column) -> Column:
     s = F.aggregate(tokens, F.lit(0).cast("long"),

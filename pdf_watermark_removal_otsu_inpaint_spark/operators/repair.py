@@ -37,52 +37,67 @@ def _as_wm(w) -> int | None:
     return int(w)
 
 
+def _wm_series_to_batch(wm: pd.Series) -> np.ndarray:
+    """Column of optional wm tokens -> int32 vector, -1 = self-detect."""
+    vals = wm.to_numpy()
+    out = np.full(len(vals), -1, dtype=np.int32)
+    for i, w in enumerate(vals):
+        v = _as_wm(w)
+        if v is not None:
+            out[i] = v
+    return out
+
+
 def make_detect_udf(params: EngineParams = DEFAULT_PARAMS):
     """Detection-only kernel -> (mask, wm_token, coverage) struct.
 
     Engine analogue of detect_watermark_mask + refine_mask
     (watermark_detector.py:362-419, :755-789); feeds the `detect_masks`
-    intermediate stream (SURVEY §1.2)."""
+    intermediate stream (SURVEY §1.2). Whole-batch vectorized: the batch
+    flattens once into the span-space kernel (detect_batch), no per-row
+    Python kernel calls."""
     p = params
 
     @pandas_udf(DETECT_STRUCT)
     def detect(tokens: pd.Series, wm: pd.Series) -> pd.DataFrame:
-        from .. import reference_kernels as rk
-        masks, wms, covs = [], [], []
-        for arr, w in zip(tokens.to_numpy(), wm.to_numpy()):
-            a = np.asarray(arr)
-            mask, wfound = rk.detect_refine(
-                a, _as_wm(w), p.color_tolerance, p.kernel_size,
-                p.protect_text, p.text_expand, p.min_run, p.max_run)
-            masks.append(mask)  # np arrays: no per-element boxing on the way out
-            wms.append(wfound)
-            covs.append(rk.coverage(mask))
-        return pd.DataFrame({"mask": masks, "wm_token": wms, "coverage": covs})
+        from .repair_vectorized import detect_batch, flatten_arrays
+        flat, offsets = flatten_arrays(tokens)
+        B = offsets.size - 1
+        if B == 0:
+            return pd.DataFrame({"mask": [], "wm_token": [], "coverage": []})
+        mask_flat, wm_out, cov = detect_batch(
+            np.asarray(flat, dtype=np.int32), offsets, p,
+            wm_in=_wm_series_to_batch(wm))
+        return pd.DataFrame({
+            "mask": [mask_flat[offsets[i]:offsets[i + 1]] for i in range(B)],
+            "wm_token": [None if w < 0 else int(w) for w in wm_out],
+            "coverage": cov})
 
     return detect
 
 
 def make_repair_udf(params: EngineParams = DEFAULT_PARAMS):
     """Fused multi-pass detect+repair kernel -> repaired struct
-    (remove_watermark_multi_pass, watermark_remover.py:234-302)."""
+    (remove_watermark_multi_pass, watermark_remover.py:234-302).
+    Whole-batch vectorized through repair_batch."""
     p = params
 
     @pandas_udf(REPAIR_STRUCT)
     def repair(tokens: pd.Series, wm: pd.Series) -> pd.DataFrame:
-        from .. import reference_kernels as rk
-        out_t, out_c, out_w, out_p = [], [], [], []
-        for arr, w in zip(tokens.to_numpy(), wm.to_numpy()):
-            a = np.asarray(arr)
-            res, n_passes, cov, wfound = rk.remove_watermark_multi_pass(
-                a, p.passes, _as_wm(w), p.color_tolerance, p.kernel_size,
-                p.protect_text, p.text_expand, p.min_run, p.max_run,
-                p.inpaint_radius, p.inpaint_strength)
-            out_t.append(res.astype(np.int32, copy=False))
-            out_c.append(cov)
-            out_w.append(wfound)
-            out_p.append(n_passes)
-        return pd.DataFrame({"tokens": out_t, "coverage": out_c,
-                             "wm_token": out_w, "pass_count": out_p})
+        from .repair_vectorized import flatten_arrays, repair_batch
+        flat, offsets = flatten_arrays(tokens)
+        B = offsets.size - 1
+        if B == 0:
+            return pd.DataFrame({"tokens": [], "coverage": [],
+                                 "wm_token": [], "pass_count": []})
+        out, cov, wm_out, npass = repair_batch(
+            np.asarray(flat, dtype=np.int32), offsets, p,
+            wm_in=_wm_series_to_batch(wm))
+        return pd.DataFrame({
+            "tokens": [out[offsets[i]:offsets[i + 1]] for i in range(B)],
+            "coverage": cov,
+            "wm_token": [None if w < 0 else int(w) for w in wm_out],
+            "pass_count": npass})
 
     return repair
 
@@ -181,25 +196,32 @@ def unpack_tokens(col: Column) -> "Column":
 
 
 def make_repair_bin_udf(params: EngineParams = DEFAULT_PARAMS):
-    """Fused multi-pass detect+repair over packed binary token payloads."""
+    """Fused multi-pass detect+repair over packed binary token payloads.
+    Whole-batch: one join of the byte blobs -> one flat int32 buffer."""
     p = params
 
     @pandas_udf(REPAIR_BIN_STRUCT)
     def repair_bin(tb: pd.Series, wm: pd.Series) -> pd.DataFrame:
-        from .. import reference_kernels as rk
-        out_t, out_c, out_w, out_p = [], [], [], []
-        for b, w in zip(tb.to_numpy(), wm.to_numpy()):
-            a = np.frombuffer(b, dtype="<i4")
-            res, n_passes, cov, wfound = rk.remove_watermark_multi_pass(
-                a, p.passes, _as_wm(w), p.color_tolerance, p.kernel_size,
-                p.protect_text, p.text_expand, p.min_run, p.max_run,
-                p.inpaint_radius, p.inpaint_strength)
-            out_t.append(res.astype("<i4", copy=False).tobytes())
-            out_c.append(cov)
-            out_w.append(wfound)
-            out_p.append(n_passes)
-        return pd.DataFrame({"tokens_bin": out_t, "coverage": out_c,
-                             "wm_token": out_w, "pass_count": out_p})
+        from .repair_vectorized import repair_batch
+        blobs = tb.to_numpy()
+        B = len(blobs)
+        if B == 0:
+            return pd.DataFrame({"tokens_bin": [], "coverage": [],
+                                 "wm_token": [], "pass_count": []})
+        lengths = np.fromiter((len(b) // 4 for b in blobs), dtype=np.int64,
+                              count=B)
+        offsets = np.zeros(B + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        flat = np.frombuffer(b"".join(blobs), dtype="<i4")
+        out, cov, wm_out, npass = repair_batch(
+            flat, offsets, p, wm_in=_wm_series_to_batch(wm))
+        ob = out.astype("<i4", copy=False).tobytes()
+        return pd.DataFrame({
+            "tokens_bin": [ob[offsets[i] * 4:offsets[i + 1] * 4]
+                           for i in range(B)],
+            "coverage": cov,
+            "wm_token": [None if w < 0 else int(w) for w in wm_out],
+            "pass_count": npass})
 
     return repair_bin
 
@@ -217,6 +239,81 @@ def repair_sequences_packed(df: DataFrame,
                       F.col("_r.coverage").alias("coverage"),
                       F.col("_r.wm_token").alias("wm_token"),
                       F.col("_r.pass_count").alias("pass_count")))
+
+
+# ---------------------------------------------------------------------------
+# Bit-packed mask (the X6 shuffle layout): array<boolean> costs ~1 byte per
+# token (plus offsets) across the stream-stream join shuffle; np.packbits to
+# a `binary` column divides the mask's shuffle bytes by 8 — the 100 TB wire
+# format for detect_masks -> join -> repair.
+# ---------------------------------------------------------------------------
+DETECT_BIN_STRUCT = ("struct<mask_bin:binary,n_tok:int,wm_token:int,"
+                     "coverage:double>")
+
+
+def make_detect_bin_udf(params: EngineParams = DEFAULT_PARAMS):
+    """detect_batch -> bit-packed masks (mask_bin = packbits, n_tok carries
+    the unpadded length)."""
+    p = params
+
+    @pandas_udf(DETECT_BIN_STRUCT)
+    def detect_bin(tokens: pd.Series, wm: pd.Series) -> pd.DataFrame:
+        from .repair_vectorized import detect_batch, flatten_arrays
+        flat, offsets = flatten_arrays(tokens)
+        B = offsets.size - 1
+        if B == 0:
+            return pd.DataFrame({"mask_bin": [], "n_tok": [],
+                                 "wm_token": [], "coverage": []})
+        mask_flat, wm_out, cov = detect_batch(
+            np.asarray(flat, dtype=np.int32), offsets, p,
+            wm_in=_wm_series_to_batch(wm))
+        return pd.DataFrame({
+            "mask_bin": [np.packbits(mask_flat[offsets[i]:offsets[i + 1]])
+                         .tobytes() for i in range(B)],
+            "n_tok": (offsets[1:] - offsets[:-1]).astype(np.int32),
+            "wm_token": [None if w < 0 else int(w) for w in wm_out],
+            "coverage": cov})
+
+    return detect_bin
+
+
+def make_apply_mask_bin_udf(params: EngineParams = DEFAULT_PARAMS):
+    """K2 with a bit-packed mask column (the post-join repair of the packed
+    X6 pipeline): unpackbits per row -> whole-batch apply_mask_batch."""
+    p = params
+
+    @pandas_udf("array<int>")
+    def apply_mask_bin(tokens: pd.Series, mask_bin: pd.Series) -> pd.Series:
+        from .repair_vectorized import apply_mask_batch, flatten_arrays
+        flat, offsets = flatten_arrays(tokens)
+        B = offsets.size - 1
+        if B == 0:
+            return pd.Series([], dtype=object)
+        lengths = offsets[1:] - offsets[:-1]
+        blobs = mask_bin.to_numpy()
+        mflat = np.concatenate(
+            [np.unpackbits(np.frombuffer(blobs[i], dtype=np.uint8),
+                           count=int(lengths[i]))
+             for i in range(B)]).view(bool)
+        out = apply_mask_batch(np.asarray(flat, dtype=np.int32), mflat,
+                               offsets, p)
+        return pd.Series([out[offsets[i]:offsets[i + 1]] for i in range(B)])
+
+    return apply_mask_bin
+
+
+def detect_masks_packed(df: DataFrame, params: EngineParams = DEFAULT_PARAMS,
+                        wm_token: Column | None = None) -> DataFrame:
+    """detect_masks flavor emitting the bit-packed mask (X6 wire format)."""
+    wm = wm_token if wm_token is not None else F.lit(None).cast("int")
+    d = make_detect_bin_udf(params)(F.col("tokens"), wm)
+    keep = [c for c in ("doc_id", "seq_no", "event_ts", "source")
+            if c in df.columns]
+    return (df.withColumn("_d", d)
+              .select(*keep, F.col("_d.mask_bin").alias("mask_bin"),
+                      F.col("_d.n_tok").alias("n_tok"),
+                      F.col("_d.wm_token").alias("wm_token"),
+                      F.col("_d.coverage").alias("coverage")))
 
 
 # ---------------------------------------------------------------------------

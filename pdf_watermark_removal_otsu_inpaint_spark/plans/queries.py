@@ -1890,6 +1890,52 @@ def q50(spark, sf_dir):
                       "merged_cnt")
 
 
+@q("q51_instance_mask_union", """
+WITH marks AS (
+  SELECT doc_id, kw, strpos(text, kw) AS sp, CAST(length(text) AS BIGINT) AS n
+  FROM documents CROSS JOIN (VALUES ('hash'), ('table'), ('spark')) k(kw)),
+inst AS (
+  SELECT doc_id,
+         UNNEST(generate_series(sp - 1, LEAST(sp - 1 + 12, n) - 1)) AS p
+  FROM marks WHERE sp > 0),
+uni AS (
+  SELECT doc_id, COUNT(DISTINCT p) AS combined_cnt FROM inst GROUP BY doc_id),
+cnts AS (
+  SELECT doc_id, COUNT(*) AS n_instances
+  FROM marks WHERE sp > 0 GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(c.n_instances, 0) AS INT) AS n_instances,
+       CAST(COALESCE(u.combined_cnt, 0) AS INT) AS combined_cnt
+FROM documents d
+LEFT JOIN cnts c ON c.doc_id = d.doc_id
+LEFT JOIN uni u ON u.doc_id = d.doc_id
+""")
+def q51(spark, sf_dir):
+    """U3: instance-mask max-combine (yolo_detector.py:224-230 —
+    np.max(masks, axis=0) unions per-instance detection masks before the K1
+    close). Instances are deterministic keyword spans (the YOLO inference
+    itself is out of scope, SURVEY §2.1 S6 — the union operator is the
+    Spark-side component); the oracle unions the span positions
+    relationally. Pure Catalyst: span_mask constructors folded with
+    aggregate(zip_with OR) — no Python in the plan."""
+    from ..functions import mask_exprs as mxx
+    d = t(spark, sf_dir, "documents")
+    n = F.length("text")
+    spans = []
+    for kw in ("hash", "table", "spark"):
+        loc = F.locate(kw, F.col("text"))
+        spans.append(F.when(
+            loc > 0, mxx.span_mask(n, loc - 1, F.least(loc - 1 + 12, n)))
+            .otherwise(mxx.span_mask(n, F.lit(0), F.lit(0))))
+        # presence flags for n_instances
+    n_inst = sum([(F.locate(kw, F.col("text")) > 0).cast("int")
+                  for kw in ("hash", "table", "spark")])
+    combined = mxx.mask_max_combine(F.array(*spans), n)
+    return d.select(
+        "doc_id", n_inst.alias("n_instances"),
+        mxx.mask_count(combined).alias("combined_cnt"))
+
+
 @q("q48_relational_detect_mask", """
 WITH pos AS (
   SELECT vec_id, i AS p,

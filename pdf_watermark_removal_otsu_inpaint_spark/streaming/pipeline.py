@@ -88,6 +88,7 @@ def join_masks_with_sequences(seq: DataFrame, masks: DataFrame,
                               mask_watermark: str = "5 minutes") -> DataFrame:
     """Inner equi-join on (doc_id, seq_no) with an event-time interval bound
     so join state is watermark-bounded (SURVEY §2.4 J1)."""
+    mask_col = "mask_bin" if "mask_bin" in masks.columns else "mask"
     s = (seq.withWatermark("event_ts", seq_watermark)
          .select(F.col("doc_id").alias("s_doc_id"),
                  F.col("seq_no").alias("s_seq_no"),
@@ -97,7 +98,7 @@ def join_masks_with_sequences(seq: DataFrame, masks: DataFrame,
          .select(F.col("doc_id").alias("m_doc_id"),
                  F.col("seq_no").alias("m_seq_no"),
                  F.col("event_ts").alias("m_event_ts"),
-                 "mask", "wm_token", "coverage"))
+                 mask_col, "wm_token", "coverage"))
     cond = ((F.col("s_doc_id") == F.col("m_doc_id"))
             & (F.col("s_seq_no") == F.col("m_seq_no"))
             & (F.col("m_event_ts") >= F.col("s_event_ts") - F.expr("interval 5 minutes"))
@@ -106,15 +107,22 @@ def join_masks_with_sequences(seq: DataFrame, masks: DataFrame,
             .select(F.col("s_doc_id").alias("doc_id"),
                     F.col("s_seq_no").alias("seq_no"),
                     F.col("s_event_ts").alias("event_ts"),
-                    "source", "tokens", "n_tok", "mask", "wm_token",
+                    "source", "tokens", "n_tok", mask_col, "wm_token",
                     "coverage"))
 
 
 def repair_joined(joined: DataFrame,
                   params: EngineParams = DEFAULT_PARAMS) -> DataFrame:
     """Apply the K2 inpaint kernel to (tokens, mask) pairs post-join; P10
-    empty-mask rows pass through inside the kernel."""
-    repaired = make_apply_mask_udf(params)(F.col("tokens"), F.col("mask"))
+    empty-mask rows pass through inside the kernel. Accepts either mask
+    layout: array<boolean> or the bit-packed `mask_bin` binary (1/8 the
+    shuffle bytes across the X6 join — the 100 TB wire format)."""
+    if "mask_bin" in joined.columns:
+        from ..operators.repair import make_apply_mask_bin_udf
+        repaired = make_apply_mask_bin_udf(params)(F.col("tokens"),
+                                                   F.col("mask_bin"))
+    else:
+        repaired = make_apply_mask_udf(params)(F.col("tokens"), F.col("mask"))
     return joined.select("doc_id", "seq_no", "event_ts", "source",
                          repaired.alias("tokens"), "n_tok", "wm_token",
                          "coverage")

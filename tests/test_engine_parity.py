@@ -239,3 +239,27 @@ def test_marker_span_merge_properties(spark, seq_df, seq_rows):
         else:
             exp = orig
         assert rep.tolist() == exp.astype(np.int64).tolist()
+
+
+def test_packed_mask_join_path_matches_unpacked(spark, seq_df, seq_rows):
+    """X6 wire format: the bit-packed mask (binary, 1/8 shuffle bytes)
+    through join + K2 repair produces token-identical results to the
+    array<boolean> layout."""
+    from pdf_watermark_removal_otsu_inpaint_spark.operators.repair import (
+        detect_masks_packed, make_apply_mask_bin_udf)
+    toks = seq_df.select("doc_id", "seq_no", "tokens")
+    plain = (detect_masks(seq_df).join(toks, ["doc_id", "seq_no"])
+             .withColumn("repaired",
+                         make_apply_mask_udf()(F.col("tokens"), F.col("mask")))
+             .select("doc_id", "seq_no", "repaired"))
+    packed = (detect_masks_packed(seq_df).join(toks, ["doc_id", "seq_no"])
+              .withColumn("repaired",
+                          make_apply_mask_bin_udf()(F.col("tokens"),
+                                                    F.col("mask_bin")))
+              .select("doc_id", "seq_no", "repaired"))
+    a = {(r.doc_id, r.seq_no): r.repaired for r in plain.collect()}
+    b = {(r.doc_id, r.seq_no): r.repaired for r in packed.collect()}
+    assert a == b and len(a) == len(seq_rows)
+    # and the packed wire format is genuinely ~8x smaller than bool masks
+    row = detect_masks_packed(seq_df).select("mask_bin", "n_tok").first()
+    assert len(row.mask_bin) == (row.n_tok + 7) // 8
