@@ -77,25 +77,18 @@ def make_threshold_repair_udf(params=None):
 
     @pandas_udf("struct<tokens:array<int>,coverage:double>")
     def repair_thr(tokens: pd.Series, thr: pd.Series) -> pd.DataFrame:
-        from .. import reference_kernels as rk
-        out_t, out_c = [], []
-        for arr, th in zip(tokens.to_numpy(), thr.to_numpy()):
-            a = np.asarray(arr)
-            mask = rk.detect_mask_threshold(a, int(th), p.kernel_size,
-                                            p.protect_text, p.text_expand)
-            mask = rk.filter_runs(mask, p.min_run, p.max_run)
-            if not mask.any():
-                out_t.append(np.asarray(a, dtype=np.int32))
-                out_c.append(0.0)
-                continue
-            cov = rk.coverage(mask)
-            radius = rk.dynamic_radius(cov, p.inpaint_radius,
-                                       p.inpaint_strength)
-            filled = rk.inpaint_1d(a, mask, radius)
-            out_t.append(rk.blend(a, filled, mask, p.inpaint_strength)
-                         .astype(np.int32, copy=False))
-            out_c.append(cov)
-        return pd.DataFrame({"tokens": out_t, "coverage": out_c})
+        # whole-batch vectorized through the span-space kernel
+        from .repair_vectorized import flatten_arrays, threshold_repair_batch
+        flat, offsets = flatten_arrays(tokens)
+        B = offsets.size - 1
+        if B == 0:
+            return pd.DataFrame({"tokens": [], "coverage": []})
+        out, cov = threshold_repair_batch(
+            np.asarray(flat, dtype=np.int32), offsets,
+            thr.to_numpy().astype(np.int64), p)
+        return pd.DataFrame({
+            "tokens": [out[offsets[i]:offsets[i + 1]] for i in range(B)],
+            "coverage": cov})
 
     return repair_thr
 

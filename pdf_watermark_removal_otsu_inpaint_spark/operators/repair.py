@@ -389,20 +389,31 @@ def make_repair_profiled_udf(base: EngineParams = DEFAULT_PARAMS):
     @pandas_udf(REPAIR_STRUCT)
     def repair_profiled(tokens: pd.Series, tol: pd.Series, kern: pd.Series,
                         strength: pd.Series, passes: pd.Series) -> pd.DataFrame:
-        from .. import reference_kernels as rk
-        out_t, out_c, out_w, out_p = [], [], [], []
-        for arr, tl, k, st, ps in zip(tokens.to_numpy(), tol.to_numpy(),
-                                      kern.to_numpy(), strength.to_numpy(),
-                                      passes.to_numpy()):
-            a = np.asarray(arr)
-            res, n_passes, cov, wfound = rk.remove_watermark_multi_pass(
-                a, int(ps), None, int(tl), int(k), b.protect_text,
-                b.text_expand, b.min_run, b.max_run, b.inpaint_radius,
-                float(st))
-            out_t.append(res.astype(np.int32, copy=False))
-            out_c.append(cov)
-            out_w.append(wfound)
-            out_p.append(n_passes)
+        # per-row parameters come from a tiny profile dim (<= 4 distinct
+        # combinations), so group rows by profile and run the whole-batch
+        # kernel once per group — no per-row Python kernel calls
+        from .repair_vectorized import flatten_arrays, repair_batch
+        n = len(tokens)
+        toks = tokens.to_numpy()
+        key = pd.DataFrame({"t": tol.to_numpy(), "k": kern.to_numpy(),
+                            "s": strength.to_numpy(), "p": passes.to_numpy()})
+        out_t = [None] * n
+        out_c = np.zeros(n)
+        out_w: list = [None] * n
+        out_p = np.zeros(n, dtype=np.int32)
+        for (tl, k, st, ps), grp in key.groupby(["t", "k", "s", "p"],
+                                                sort=False):
+            idx = grp.index.to_numpy()
+            flat, offsets = flatten_arrays(pd.Series([toks[i] for i in idx]))
+            prm = b.with_(color_tolerance=int(tl), kernel_size=int(k),
+                          inpaint_strength=float(st), passes=int(ps))
+            res, cov, wm, npass = repair_batch(
+                np.asarray(flat, dtype=np.int32), offsets, prm)
+            for j, i in enumerate(idx):
+                out_t[i] = res[offsets[j]:offsets[j + 1]]
+                out_w[i] = None if wm[j] < 0 else int(wm[j])
+            out_c[idx] = cov
+            out_p[idx] = npass
         return pd.DataFrame({"tokens": out_t, "coverage": out_c,
                              "wm_token": out_w, "pass_count": out_p})
 

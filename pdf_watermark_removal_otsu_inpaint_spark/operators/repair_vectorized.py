@@ -416,6 +416,53 @@ def detect_batch(flat: np.ndarray, offsets: np.ndarray,
     return m, wm, cov
 
 
+def threshold_repair_batch(flat: np.ndarray, offsets: np.ndarray,
+                           thr: np.ndarray,
+                           params: EngineParams = DEFAULT_PARAMS):
+    """Whole-batch detect_mask_threshold + run filter + single-pass K2
+    (the otsu_repair per-row body, reference_kernels.detect_mask_threshold
+    semantics): mask = g > thr_row, background/text protection, open x1 /
+    close x2, run filter, inpaint + blend.
+
+    thr: int32[B] per-row (window/source-level Otsu) thresholds.
+    Returns (out_flat int32, coverage float64[B])."""
+    p = params
+    offsets = np.asarray(offsets, dtype=_I64)
+    B = offsets.size - 1
+    lengths = np.diff(offsets)
+    out = np.array(flat, dtype=np.int32, copy=True)
+    g = out.astype(np.uint8)
+    thr_b = np.clip(np.asarray(thr, dtype=np.int64), 0, 255).astype(np.uint8)
+    m = g > np.repeat(thr_b, lengths)
+    # rows whose threshold is >= 255 mask nothing (degenerate convention)
+    if (np.asarray(thr) >= 255).any():
+        m &= np.repeat(np.asarray(thr) < 255, lengths)
+    m &= g <= rk.BACKGROUND_THRESHOLD
+    if p.protect_text and m.any():
+        m &= ~_text_protect_flat(g, offsets, p.text_expand)
+    s, e, rows = _spans_rowwise(m, offsets)
+    s, e, rows = _span_open(s, e, rows, offsets, p.kernel_size, 1)
+    s, e, rows = _span_close(s, e, rows, offsets, p.kernel_size, 2)
+    s, e, rows = _span_filter_runs(s, e, rows, p.min_run, p.max_run)
+    masked = np.zeros(B, dtype=_I64)
+    np.add.at(masked, rows, e - s)
+    cov = masked / np.maximum(lengths, 1)
+    radius = np.maximum(
+        2, (p.inpaint_radius + cov * 10.0 * p.inpaint_strength).astype(_I64))
+    if p.inpaint_strength >= rk.BLEND_FULL_STRENGTH or \
+       p.inpaint_strength == 1.0:
+        _inpaint_spans(out, s, e, rows, offsets, radius)
+    else:
+        mfin = _write_spans(s, e, out.size)
+        filled = out.copy()
+        _inpaint_spans(filled, s, e, rows, offsets, radius)
+        bf = mfin.astype(np.float32) * np.float32(p.inpaint_strength)
+        res = (out.astype(np.float32) * (np.float32(1.0) - bf)
+               + filled.astype(np.float32) * bf)
+        out = res.astype(np.int32)
+    return out, cov
+
+
 def apply_mask_batch(flat: np.ndarray, mask_flat: np.ndarray,
                      offsets: np.ndarray,
                      params: EngineParams = DEFAULT_PARAMS) -> np.ndarray:
