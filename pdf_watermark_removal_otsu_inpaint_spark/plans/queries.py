@@ -605,10 +605,12 @@ def q21(spark, sf_dir):
     unbounded documents — the word join is on (candidate doc pair, word), so
     a stopword can no longer fan a hot key across all doc pairs (the round-1
     scale-killer). At 100 TB the candidate count tracks the true-duplicate
-    count, not |docs|^2."""
+    count, not |docs|^2. Word-set dedup happens IN-ROW (array_distinct
+    before the explode) — no distinct() shuffle."""
     d = t(spark, sf_dir, "documents")
-    words = (d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-             .distinct())
+    words = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("word"))
     sizes = words.groupBy("doc_id").agg(F.count("*").alias("nw"))
     sig = QUERIES["q25_minhash_signatures"](spark, sf_dir) \
         .withColumnRenamed("hash_i", "i").withColumnRenamed("minhash", "mh")
@@ -670,14 +672,18 @@ SELECT doc_id, word_cnt, distinct_words, ROUND(stop_ratio, 6) AS stop_ratio,
 FROM m
 """)
 def q23(spark, sf_dir):
-    """Quality scoring: length/stopword heuristics (training-data op)."""
+    """Quality scoring: length/stopword heuristics (training-data op) —
+    fully in-row (size/array_distinct/filter over the split array, no
+    explode+groupBy shuffle; a pure map at 100 TB)."""
     d = t(spark, sf_dir, "documents")
-    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    m = (w.groupBy("doc_id")
-         .agg(F.count("*").alias("word_cnt"),
-              F.countDistinct("word").alias("distinct_words"),
-              F.avg(F.when(F.col("word").isin("the", "a"), 1.0)
-                    .otherwise(0.0)).alias("stop_ratio")))
+    words = F.split("text", " ")
+    word_cnt = F.size(words)
+    stops = F.size(F.filter(words, lambda w: w.isin("the", "a")))
+    m = d.select(
+        "doc_id",
+        word_cnt.cast("long").alias("word_cnt"),
+        F.size(F.array_distinct(words)).cast("long").alias("distinct_words"),
+        (stops / word_cnt).alias("stop_ratio"))
     bucket = (F.when((F.col("word_cnt") >= 100) & (F.col("stop_ratio") < 0.15),
                      "high")
               .when(F.col("word_cnt") >= 30, "medium").otherwise("low"))
@@ -751,21 +757,26 @@ GROUP BY h.doc_id, p.i
 """)
 def q25(spark, sf_dir):
     """MinHash signatures (dedup op #2): polynomial word hash + k=8
-    universal-hash min-fold; shuffle is O(docs x 8)."""
+    universal-hash min-fold — fully IN-ROW (array_distinct -> transform ->
+    array_min per hash function), then one explode of the 8-slot signature.
+    ZERO shuffles: the round-1 plan's distinct() shuffle and params
+    crossJoin are gone; at 100 TB the signature stage is a pure map."""
     d = t(spark, sf_dir, "documents")
-    words = (d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-             .distinct())
-    wh = F.aggregate(
-        F.split("word", ""), F.lit(0).cast("long"),
-        lambda acc, c: (acc * 31 + F.ascii(c)) % 1000000007)
-    hashed = words.select("doc_id", wh.alias("wh"))
+    wh_arr = F.transform(
+        F.array_distinct(F.split("text", " ")),
+        lambda w: F.aggregate(
+            F.split(w, ""), F.lit(0).cast("long"),
+            lambda acc, c: (acc * 31 + F.ascii(c)) % 1000000007))
     a_vals = [3, 5, 7, 11, 13, 17, 19, 23]
-    params = spark.createDataFrame(
-        [(i, a_vals[i], i + 1) for i in range(8)], "i int, a int, b int")
-    return (hashed.crossJoin(F.broadcast(params))
-            .groupBy("doc_id", F.col("i").alias("hash_i"))
-            .agg(F.min((F.col("a") * F.col("wh") + F.col("b")) % 1000000007)
-                 .alias("minhash")))
+    sig = F.array(*[
+        F.struct(F.lit(i).alias("hash_i"),
+                 F.array_min(F.transform(
+                     wh_arr, lambda h: (F.lit(a_vals[i]) * h + F.lit(i + 1))
+                     % 1000000007)).alias("minhash"))
+        for i in range(8)])
+    return (d.select("doc_id", F.explode(sig).alias("s"))
+            .select("doc_id", F.col("s.hash_i").alias("hash_i"),
+                    F.col("s.minhash").alias("minhash")))
 
 
 @q("q26_minhash_dup_pairs", f"""

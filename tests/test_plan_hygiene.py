@@ -100,3 +100,11 @@ def test_semi_and_anti_join_plans(spark):
     p6 = plan_of(QUERIES["q06_customers_without_orders"](spark, SF_DIR))
     assert "LeftSemi" in p5
     assert "LeftAnti" in p6
+
+
+def test_map_only_training_ops_are_shuffle_free(spark):
+    """q25 minhash signatures and q23 quality scoring are pure maps (in-row
+    array ops) — zero Exchange in the physical plan."""
+    for name in ("q25_minhash_signatures", "q23_doc_quality"):
+        p = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "Exchange" not in p, name
