@@ -149,6 +149,32 @@ def exactly_once_secs(spark) -> float:
     return secs
 
 
+def stateful_secs(spark, n_rows: int = 12000) -> tuple[float, int]:
+    """X5+X6 chain (applyInPandasWithState detect -> stream-stream join ->
+    repair -> exactly-once sink) on a slice of the pipeline input. Documents
+    the per-group-call cost of per-doc state (SURVEY §4.3: the fused
+    foreachBatch path is the primary design for exactly this reason)."""
+    import shutil as _sh
+    import tempfile
+
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.pipeline import (
+        file_stream, run_stateful_pipeline)
+    src = tempfile.mkdtemp(prefix="bench_stateful_src_")
+    out = tempfile.mkdtemp(prefix="bench_stateful_out_")
+    ck = tempfile.mkdtemp(prefix="bench_stateful_ck_")
+    (spark.read.parquet(f"{BENCH_INPUT}/list").limit(n_rows)
+     .coalesce(8).write.mode("overwrite").parquet(src))
+    t0 = time.perf_counter()
+    q = run_stateful_pipeline(file_stream(spark, src, max_files_per_trigger=8),
+                              f"{out}/o", ck)
+    q.awaitTermination(600)
+    secs = time.perf_counter() - t0
+    n = spark.read.parquet(f"{out}/o/data").count()
+    for p in (src, out, ck):
+        _sh.rmtree(p, ignore_errors=True)
+    return secs, n
+
+
 def run_headline(spark) -> dict[str, float]:
     from pdf_watermark_removal_otsu_inpaint_spark.plans.queries import QUERIES
     # warm the JVM (scan codegen, shuffle machinery) so q01 doesn't absorb
@@ -371,6 +397,11 @@ def main():
     e1x = exactly_once_secs(spark)
     result["exactly_once_sec"] = round(e1x, 3)
     result["exactly_once_seqs_per_sec"] = round(PIPELINE_ROWS / e1x, 1)
+    if not FAST:
+        st_sec, st_rows = stateful_secs(spark)
+        result["stateful_pipeline_sec"] = round(st_sec, 3)
+        result["stateful_pipeline_rows"] = st_rows
+        result["stateful_pipeline_seqs_per_sec"] = round(st_rows / st_sec, 1)
     spark.stop()
 
     if not FAST:
@@ -476,6 +507,16 @@ def _write_bench_md(result, scale, north, ceiling):
         f"with lineage + commit markers, checkpointed): "
         f"{result.get('exactly_once_seqs_per_sec', 'n/a')} seqs/s end-to-end "
         "including the sink's parquet writes.",
+        "",
+        "Stateful X5+X6 chain (applyInPandasWithState per-doc detect -> "
+        "stream-stream join -> repair -> exactly-once sink): "
+        f"{result.get('stateful_pipeline_seqs_per_sec', 'n/a')} seqs/s on "
+        f"{result.get('stateful_pipeline_rows', 'n/a')} rows. The gap vs the "
+        "fused path is the per-group Python call that the per-key stateful "
+        "API mandates (~26k tiny (source,doc_id) groups here) — which is why "
+        "SURVEY §4.3 makes the fused foreachBatch pipeline the primary "
+        "design and reserves per-key state for genuinely stateful "
+        "cross-batch carry-over.",
         "",
         "Reference single-thread baseline (BASELINE.md): ~0.7-2.2 M "
         "pixel-ops/s, i.e. ~350-1000 sequences/s at 2048 tokens. Engine "

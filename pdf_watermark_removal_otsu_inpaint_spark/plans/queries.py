@@ -1901,6 +1901,47 @@ def q50(spark, sf_dir):
                       "merged_cnt")
 
 
+@q("q52_dedup_clusters", f"""
+WITH RECURSIVE
+words AS (
+  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word
+  FROM documents),
+hashed AS (SELECT doc_id, {_WORDHASH.format(w='word')} AS wh FROM words),
+params AS (SELECT i, [3,5,7,11,13,17,19,23][i+1] AS a, i + 1 AS b
+           FROM range(8) t(i)),
+sig AS (
+  SELECT h.doc_id, p.i, MIN((p.a * h.wh + p.b) % 1000000007) AS mh
+  FROM hashed h CROSS JOIN params p GROUP BY h.doc_id, p.i),
+pairs AS (
+  SELECT s1.doc_id AS a_id, s2.doc_id AS b_id
+  FROM sig s1 JOIN sig s2 ON s1.i = s2.i AND s1.mh = s2.mh
+                          AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+walk(u, lbl) AS (
+  SELECT doc_id AS u, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v)
+SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY u
+""")
+def q52(spark, sf_dir):
+    """Dedup-cluster resolution (training-data op): exact connected
+    components over the MinHash candidate-pair graph (q26), via iterative
+    min-label propagation (operators/dedup.connected_components — one
+    equi-join + partial-agg groupBy per round, O(log n) rounds). Keep-rule =
+    smallest doc_id per cluster. The oracle computes the same transitive
+    closure with a recursive CTE, so the iterative fixpoint is value-checked
+    end-to-end, not just shape-checked."""
+    from ..operators.dedup import connected_components
+    pairs = QUERIES["q26_minhash_dup_pairs"](spark, sf_dir)
+    edges = pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+    vertices = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"))
+    cc = connected_components(vertices, edges)
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 @q("q51_instance_mask_union", """
 WITH marks AS (
   SELECT doc_id, kw, strpos(text, kw) AS sp, CAST(length(text) AS BIGINT) AS n
