@@ -128,6 +128,18 @@ def repair_joined(joined: DataFrame,
                          "coverage")
 
 
+# --- streaming dedup: drop replayed/duplicate sequence rows at ingest ---------
+def dedup_stream(seq: DataFrame, within: str = "10 minutes") -> DataFrame:
+    """At-source exactly-once hygiene: drop duplicate (doc_id, seq_no) rows
+    within the watermark horizon (dropDuplicatesWithinWatermark keeps state
+    bounded — a plain dropDuplicates on a stream retains ALL keys forever,
+    which cannot work at 10^12 sequences). Complements the sink-side
+    idempotence: the sink dedups within a micro-batch, this operator dedups
+    across batches within the event-time horizon."""
+    return (seq.withWatermark("event_ts", within)
+            .dropDuplicatesWithinWatermark(["doc_id", "seq_no"]))
+
+
 # --- X9: explicit salting for hot-source aggregations -------------------------
 def salted_source_stats(seq: DataFrame, n_salts: int = 8) -> DataFrame:
     """Two-stage aggregation: pre-aggregate on (source, salt) so the

@@ -525,3 +525,31 @@ def test_make_sink_contract(spark, tmp_path):
     assert m.ledger == "cat.db.repaired_commits"
     # replay guard: unknown ledger -> not committed (first run proceeds)
     assert m.is_committed(spark, 0) is False
+
+
+def test_dedup_stream_drops_replayed_rows(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a replayed (doc_id, seq_no) row within
+    the watermark horizon is emitted once; state stays watermark-bounded."""
+    import datetime as dt
+
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.pipeline import (
+        dedup_stream)
+    d = str(tmp_path / "seq")
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    tok = [255] * 16
+    rows1 = [("docA", tok, 16, "web", base, 0),
+             ("docA", tok, 16, "web", base, 1)]
+    # batch 2 replays seq_no=1 and adds seq_no=2
+    rows2 = [("docA", tok, 16, "web", base + dt.timedelta(seconds=5), 1),
+             ("docA", tok, 16, "web", base + dt.timedelta(seconds=10), 2)]
+    write_batches(spark, [spark.createDataFrame(rows1, SEQ_SCHEMA),
+                          spark.createDataFrame(rows2, SEQ_SCHEMA)], d)
+    q = (dedup_stream(file_stream(spark, d, max_files_per_trigger=1))
+         .select("doc_id", "seq_no")
+         .writeStream.outputMode("append")
+         .format("memory").queryName("dedup_stream").start())
+    q.processAllAvailable()
+    q.stop()
+    got = sorted((r.doc_id, r.seq_no) for r in
+                 spark.sql("SELECT * FROM dedup_stream").collect())
+    assert got == [("docA", 0), ("docA", 1), ("docA", 2)]
