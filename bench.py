@@ -32,6 +32,8 @@ import subprocess
 import sys
 import time
 
+import pandas as pd  # noqa: F401  (pandas_udf type-hint resolution)
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
@@ -177,9 +179,17 @@ def stateful_secs(spark, n_rows: int = 12000) -> tuple[float, int]:
 
 def run_headline(spark) -> dict[str, float]:
     from pdf_watermark_removal_otsu_inpaint_spark.plans.queries import QUERIES
-    # warm the JVM (scan codegen, shuffle machinery) so q01 doesn't absorb
+    # warm the JVM (scan codegen, shuffle machinery) AND the Python worker
+    # pool (several headline queries use Arrow UDFs) so q01/q24 don't absorb
     # cold-start; warmup cost is reported nowhere
     _noop(QUERIES["q03_revenue_by_nation"](spark, SF_DIR))
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(x: pd.Series) -> pd.Series:
+        return x
+
+    _noop(spark.range(10000).repartition(CPUS).select(_warm("id")))
     times = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
