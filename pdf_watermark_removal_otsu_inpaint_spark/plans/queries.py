@@ -1919,6 +1919,82 @@ def q50(spark, sf_dir):
                       "merged_cnt")
 
 
+_SHINGLE_SQL = (
+    "list_transform(range(1, len(string_split(text, ' ')) - 1), "
+    "i -> string_split(text, ' ')[i] || ' ' || "
+    "string_split(text, ' ')[i + 1] || ' ' || string_split(text, ' ')[i + 2])")
+
+
+@q("q53_shingle_lsh_bands", f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({_SHINGLE_SQL}) AS shingles FROM documents),
+hashed AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> {_WORDHASH.format(w='s')}) AS hs
+  FROM sh WHERE len(shingles) > 0),
+sig AS (
+  SELECT doc_id, b.b AS band,
+         list_min(list_transform(hs,
+           h -> ([3,5,7,11,13,17,19,23][2*b.b+1] * h + (2*b.b+1))
+                % 1000000007)) AS mh1,
+         list_min(list_transform(hs,
+           h -> ([3,5,7,11,13,17,19,23][2*b.b+2] * h + (2*b.b+2))
+                % 1000000007)) AS mh2
+  FROM hashed CROSS JOIN range(4) b(b)),
+cand AS (
+  SELECT DISTINCT s1.doc_id AS a_id, s2.doc_id AS b_id
+  FROM sig s1 JOIN sig s2
+    ON s1.band = s2.band AND s1.mh1 = s2.mh1 AND s1.mh2 = s2.mh2
+   AND s1.doc_id < s2.doc_id)
+SELECT a_id, b_id FROM cand
+""")
+def q53(spark, sf_dir):
+    """Shingle-MinHash-LSH banding (the canonical dedup shape: shingle ->
+    minhash -> band -> bucket-join). Word 3-gram shingles and the 8-slot
+    signature are built IN-ROW (zero shuffles until the band bucket-join);
+    4 bands x 2 rows, candidates = same (band, mh-pair) bucket — a bounded
+    equi-join, never all-pairs. Band width/count are the 100 TB recall/cost
+    dials (see q21/q26 for the verify-candidates stage)."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    shingles = F.when(
+        F.size(words) >= 3,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(words) - 3),
+            lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
+                                  F.element_at(words, i + 2),
+                                  F.element_at(words, i + 3))))
+    ).otherwise(F.array().cast("array<string>"))
+    hs = F.transform(shingles, lambda s: F.aggregate(
+        F.split(s, ""), F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % 1000000007))
+    a_vals = [3, 5, 7, 11, 13, 17, 19, 23]
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.array_min(F.transform(
+                F.col("hs"), lambda h: (F.lit(a_vals[2 * b]) * h
+                                        + F.lit(2 * b + 1))
+                % 1000000007)).alias("mh1"),
+            F.array_min(F.transform(
+                F.col("hs"), lambda h: (F.lit(a_vals[2 * b + 1]) * h
+                                        + F.lit(2 * b + 2))
+                % 1000000007)).alias("mh2"))
+        for b in range(4)])
+    sig = (d.select("doc_id", hs.alias("hs"))
+           .where(F.size("hs") > 0)
+           .select("doc_id", F.explode(bands).alias("bd"))
+           .select("doc_id", "bd.band", "bd.mh1", "bd.mh2"))
+    s1, s2 = sig.alias("s1"), sig.alias("s2")
+    return (s1.join(s2, (F.col("s1.band") == F.col("s2.band"))
+                    & (F.col("s1.mh1") == F.col("s2.mh1"))
+                    & (F.col("s1.mh2") == F.col("s2.mh2"))
+                    & (F.col("s1.doc_id") < F.col("s2.doc_id")))
+            .select(F.col("s1.doc_id").alias("a_id"),
+                    F.col("s2.doc_id").alias("b_id"))
+            .distinct())
+
+
 @q("q52_dedup_clusters", f"""
 WITH RECURSIVE
 words AS (
