@@ -12,6 +12,10 @@ Streaming (exactly-once, resumable):
 
 The same module runs under plain `python` in local mode (the session
 factory creates local[$SPARK_GRAFT_CPUS] when no master is set).
+
+Imports are absolute so the file works BOTH as `python -m <pkg>.run_pipeline`
+and as a bare spark-submit script (run as __main__ with the package shipped
+via --py-files — relative imports have no parent package there).
 """
 
 from __future__ import annotations
@@ -39,8 +43,8 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
-    from .params import DEFAULT_PARAMS
-    from .session import get_spark
+    from pdf_watermark_removal_otsu_inpaint_spark.params import DEFAULT_PARAMS
+    from pdf_watermark_removal_otsu_inpaint_spark.session import get_spark
     params = DEFAULT_PARAMS.with_(
         passes=args.passes, color_tolerance=args.tolerance,
         kernel_size=args.kernel_size, inpaint_strength=args.strength,
@@ -48,13 +52,16 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark("token-repair", cpus=args.cpus)
 
     if args.mode == "batch":
-        from .operators.repair import repair_sequences, repair_with_profiles
-        from .sources.tables import read_sequences, write_sequences
+        from pdf_watermark_removal_otsu_inpaint_spark.operators.repair import (
+            repair_sequences, repair_with_profiles)
+        from pdf_watermark_removal_otsu_inpaint_spark.sources.tables import (
+            read_sequences, write_sequences)
         df = read_sequences(spark, args.input)
         if args.profiled:
             out = repair_with_profiles(df, params)
         elif args.engine == "arrow":
-            from .operators.repair_vectorized import repair_sequences_arrow
+            from pdf_watermark_removal_otsu_inpaint_spark.operators.repair_vectorized import (  # noqa: E501
+                repair_sequences_arrow)
             out = repair_sequences_arrow(df, params)
         else:
             out = repair_sequences(df, params)
@@ -64,8 +71,10 @@ def main(argv: list[str] | None = None) -> None:
     else:
         if not args.checkpoint:
             ap.error("--checkpoint is required for --mode stream")
-        from .sources.tables import read_sequences_stream
-        from .streaming.pipeline import run_repair_pipeline
+        from pdf_watermark_removal_otsu_inpaint_spark.sources.tables import (
+            read_sequences_stream)
+        from pdf_watermark_removal_otsu_inpaint_spark.streaming.pipeline import (
+            run_repair_pipeline)
         seq = read_sequences_stream(spark, args.input)
         q = run_repair_pipeline(seq, args.output, args.checkpoint, params,
                                 engine=args.engine)
