@@ -331,6 +331,28 @@ def host_ceiling_probe(total_rows: int = 60000) -> dict:
     out["kernel_eff_2_to_8"] = round(k[8] / k[2] / 4, 3)
     out["kernel_eff_8_to_32"] = round(k[32] / k[8] / 4, 3)
     out["memcpy_eff_8_to_32"] = round(m[32] / m[8] / 4, 3)
+    # weak scaling: FIXED work per core (the verdict's bandwidth-isolating
+    # methodology) — 8 and 32 procs each process `per_core` rows; ideal
+    # wall time is flat, efficiency = T8/T32... (T32 >= T8 under a shared
+    # ceiling). Reported as T8/T32 (1.0 = perfect weak scaling).
+    per_core = total_rows // 32
+    weak = {}
+    for nproc in (8, 32):
+        from multiprocessing import Barrier, Process, Queue
+        best = float("inf")
+        for _ in range(2):
+            q = Queue()
+            barrier = Barrier(nproc)
+            ps = [Process(target=_host_worker,
+                          args=("kern", per_core, q, i, barrier))
+                  for i in range(nproc)]
+            [p.start() for p in ps]
+            ts = [q.get() for _ in ps]
+            [p.join() for p in ps]
+            best = min(best, max(ts))
+        weak[nproc] = round(best, 3)
+    out["kernel_weak_8_vs_32_sec"] = weak
+    out["kernel_weak_eff_8_to_32"] = round(weak[8] / weak[32], 3)
     return out
 
 
@@ -492,7 +514,11 @@ def _write_bench_md(result, scale, north, ceiling):
         f"memcpy itself scales 8->32 at {ceiling['memcpy_eff_8_to_32']} "
         "efficiency (the VM's DRAM wall, ~130-140 GB/s aggregate); the bare "
         f"kernel scales 2->8 at {ceiling['kernel_eff_2_to_8']} and 8->32 at "
-        f"{ceiling['kernel_eff_8_to_32']}. Any memory-touching job on this "
+        f"{ceiling['kernel_eff_8_to_32']}. Weak scaling (FIXED work per "
+        f"core, 8 vs 32 procs): {ceiling['kernel_weak_8_vs_32_sec'][8]}s vs "
+        f"{ceiling['kernel_weak_8_vs_32_sec'][32]}s = "
+        f"{ceiling['kernel_weak_eff_8_to_32']} "
+        "(1.0 = perfect). Any memory-touching job on this "
         "box inherits the same knee, which is why the north-rule pair is "
         "measured on the unsaturated side. The Spark plan itself is "
         "shuffle-free and barrier-free (one ArrowEvalPython/mapInArrow over "
