@@ -1919,6 +1919,30 @@ def q50(spark, sf_dir):
                       "merged_cnt")
 
 
+@q("q54_value_percentiles", """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99,
+       ROUND(AVG(value), 6) AS mean_value,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+""")
+def q54(spark, sf_dir):
+    """Exact percentile aggregation (the reference's per-run stats report,
+    stats.py:205-245 percentile/mean summaries): Spark's exact
+    `percentile()` and DuckDB's quantile_cont share the linear-interpolation
+    definition on sorted values, so values hash-match. At 100 TB swap in
+    approx_percentile (t-digest) — same query shape, bounded memory."""
+    e = t(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+                 F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+                 F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+                 F.round(F.avg("value"), 6).alias("mean_value"),
+                 F.count("*").alias("n")))
+
+
 _SHINGLE_SQL = (
     "list_transform(range(1, len(string_split(text, ' ')) - 1), "
     "i -> string_split(text, ' ')[i] || ' ' || "
