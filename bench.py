@@ -420,7 +420,7 @@ def main():
         materialize_ladder_input(spark)
     result["pipeline_rows"] = PIPELINE_ROWS
     result["pipeline_n_tok"] = N_TOK
-    for layout in ("list", "packed", "arrow_packed"):
+    for layout in ("list", "arrow", "packed", "arrow_packed"):
         secs = pipeline_secs(spark, layout)
         result[f"pipeline_{layout}_sec"] = round(secs, 3)
         result[f"pipeline_{layout}_seqs_per_sec"] = round(PIPELINE_ROWS / secs, 1)
@@ -529,9 +529,10 @@ def _write_bench_md(result, scale, north, ceiling):
         "## Throughput (local[32], all 32 cores)",
         "",
         "Layout comparison on local[32] (same rows): "
-        f"array<int32> {result['pipeline_list_seqs_per_sec']} seqs/s vs "
-        f"packed binary {result['pipeline_packed_seqs_per_sec']} seqs/s vs "
-        f"mapInArrow packed {result['pipeline_arrow_packed_seqs_per_sec']} "
+        f"array<int32> pandas {result['pipeline_list_seqs_per_sec']} vs "
+        f"array<int32> mapInArrow {result.get('pipeline_arrow_seqs_per_sec', 'n/a')} vs "
+        f"packed pandas {result['pipeline_packed_seqs_per_sec']} vs "
+        f"packed mapInArrow {result['pipeline_arrow_packed_seqs_per_sec']} "
         "seqs/s — the packed layout decodes one value per row at the "
         "parquet scan and ships one Arrow buffer per row (np.frombuffer "
         "zero-copy in the worker), the 10^12-scale physical design.",
