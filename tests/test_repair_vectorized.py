@@ -147,3 +147,32 @@ def test_fused_text_path_matches_split_ascii(spark):
     old = {r.doc_id: (round(r.coverage, 6), r.wm_token, r.pass_count)
            for r in old_df.collect()}
     assert new == old and len(new) > 0
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(
+           st.lists(st.integers(min_value=0, max_value=255),
+                    min_size=1, max_size=60),
+           st.one_of(st.none(), st.integers(min_value=0, max_value=255))),
+       min_size=1, max_size=6))
+def test_detect_batch_random_with_given_wm(rows_wm):
+    """detect_batch == rk.detect_refine per row, for self-detect AND
+    caller-supplied wm tokens mixed in one batch."""
+    from pdf_watermark_removal_otsu_inpaint_spark.operators.repair_vectorized import (  # noqa: E501
+        detect_batch)
+    params = DEFAULT_PARAMS.with_(min_run=3, max_run=40)
+    rows = [r for r, _ in rows_wm]
+    wms = [w for _, w in rows_wm]
+    flat, offsets = _flat(rows)
+    wm_in = np.array([-1 if w is None else w for w in wms], dtype=np.int32)
+    mask_flat, wm_out, cov = detect_batch(flat, offsets, params, wm_in=wm_in)
+    for i, (r, w) in enumerate(rows_wm):
+        exp_mask, exp_wm = rk.detect_refine(
+            np.asarray(r, dtype=np.int32), w, params.color_tolerance,
+            params.kernel_size, params.protect_text, params.text_expand,
+            params.min_run, params.max_run)
+        got = mask_flat[offsets[i]:offsets[i + 1]]
+        assert got.tolist() == exp_mask.tolist(), f"row {i} mask"
+        exp_w = -1 if exp_wm is None else exp_wm
+        assert wm_out[i] == exp_w, f"row {i} wm"
+        assert abs(cov[i] - rk.coverage(exp_mask)) < 1e-12, f"row {i} cov"
