@@ -93,6 +93,19 @@ def make_threshold_repair_udf(params=None):
     return repair_thr
 
 
+def otsu_repair_windowed(df: DataFrame, duration: str = "1 minute",
+                         params=None) -> DataFrame:
+    """north_star, window-keyed: per-(event-time window, source) histograms
+    feed the Otsu threshold that repairs that window's rows — a document
+    window contaminated in one period gets that period's threshold, not a
+    global one. Batch/micro-batch operator: group keys are
+    (window(event_ts), source)."""
+    from pyspark.sql import functions as F
+    win = df.withColumn("win", F.window("event_ts", duration).start)
+    out = otsu_repair(win, ["win", "source"], params)
+    return out.drop("win") if "win" in out.columns else out
+
+
 def otsu_repair(df: DataFrame, group_cols: list[str] | None = None,
                 params=None) -> DataFrame:
     """The north_star composition as one batch operator (reused per

@@ -239,15 +239,23 @@ def run_stateful_pipeline(seq: DataFrame, out_dir: str, checkpoint_dir: str,
 
 def run_otsu_pipeline(seq: DataFrame, out_dir: str, checkpoint_dir: str,
                       params: EngineParams = DEFAULT_PARAMS,
-                      trigger_once: bool = True):
-    """north_star composition, streaming: per micro-batch, the (source)-level
-    token histogram feeds the window-SQL Otsu, whose thresholds flag
-    contaminated spans that the K2 kernel repairs; committed exactly-once."""
-    from ..operators.otsu import otsu_repair
+                      trigger_once: bool = True,
+                      window_duration: str | None = None):
+    """north_star composition, streaming: the token histogram feeds the
+    window-SQL Otsu, whose thresholds flag contaminated spans that the K2
+    kernel repairs; committed exactly-once. Thresholds are keyed per
+    (source) by default, or per (event-time window, source) when
+    window_duration is given — 'per-window token-frequency histograms feed
+    the Otsu binarization' per the north_star."""
+    from ..operators.otsu import otsu_repair, otsu_repair_windowed
     sink = ExactlyOnceParquetSink(out_dir)
 
     def process(batch_df, batch_id):
-        sink(otsu_repair(batch_df, ["source"], params), batch_id)
+        if window_duration:
+            sink(otsu_repair_windowed(batch_df, window_duration, params),
+                 batch_id)
+        else:
+            sink(otsu_repair(batch_df, ["source"], params), batch_id)
 
     writer = (seq.writeStream.foreachBatch(process)
               .option("checkpointLocation", checkpoint_dir))

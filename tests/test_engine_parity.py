@@ -263,3 +263,35 @@ def test_packed_mask_join_path_matches_unpacked(spark, seq_df, seq_rows):
     # and the packed wire format is genuinely ~8x smaller than bool masks
     row = detect_masks_packed(seq_df).select("mask_bin", "n_tok").first()
     assert len(row.mask_bin) == (row.n_tok + 7) // 8
+
+
+def test_windowed_otsu_repair_matches_kernel(spark, seq_df, seq_rows):
+    """north_star window-keyed: per-(event-time window, source) histograms
+    feed the Otsu threshold that repairs exactly that window's rows."""
+    from pdf_watermark_removal_otsu_inpaint_spark.operators.otsu import (
+        otsu_repair_windowed)
+    out = {(r.doc_id, r.seq_no): r
+           for r in otsu_repair_windowed(seq_df, "1 minute").collect()}
+    # kernel thresholds per (minute-window, source)
+    by_key = {}
+    rows_key = {}
+    for row in seq_rows:
+        wstart = row["event_ts"].replace(second=0, microsecond=0)
+        k = (wstart, row["source"])
+        h = by_key.setdefault(k, np.zeros(256, dtype=np.int64))
+        h += rk.histogram256(rk.bucket256(np.array(row["tokens"])))
+        rows_key[(row["doc_id"], row["seq_no"])] = k
+    thr = {k: rk.otsu_threshold(h) for k, h in by_key.items()}
+    assert len(out) == len(seq_rows)
+    for row in seq_rows:
+        g = out[(row["doc_id"], row["seq_no"])]
+        t = thr[rows_key[(row["doc_id"], row["seq_no"])]]
+        assert g.otsu_threshold == t
+        a = np.array(row["tokens"])
+        mask = rk.filter_runs(rk.detect_mask_threshold(a, t), 100, 5000)
+        if not mask.any():
+            exp = a
+        else:
+            radius = rk.dynamic_radius(rk.coverage(mask), 2, 1.0)
+            exp = rk.blend(a, rk.inpaint_1d(a, mask, radius), mask, 1.0)
+        assert g.tokens == exp.astype(np.int32).tolist()
