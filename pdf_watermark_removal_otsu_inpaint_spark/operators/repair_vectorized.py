@@ -9,10 +9,12 @@ buffers), and every stage runs as whole-batch NumPy:
 - dominant-token selection: one argsort over the (B,256) histogram matrix
 - masks: flat elementwise ops
 - morphology / run filtering: span-table arithmetic (start/end vectors with
-  per-span row bounds), written back via delta+cumsum — runs are split at
-  row boundaries so nothing leaks across rows
+  per-span row bounds) — the whole open/close/filter chain stays in span
+  space; masks are written back (span-merge + bool XOR-accumulate) only at
+  chain boundaries. Runs are split at row boundaries so nothing leaks
+  across rows
 - inpaint: one gather of span boundaries + one scatter over all masked
-  positions
+  positions, indexed straight off the span table
 
 Semantics are EXACTLY reference_kernels.remove_watermark_multi_pass per row
 (tests/test_repair_vectorized.py asserts token-array equality row-by-row on
@@ -412,7 +414,7 @@ def detect_batch(flat: np.ndarray, offsets: np.ndarray,
     m = _open_flat(m, offsets, p.kernel_size, 1)
     m = _close_flat(m, offsets, p.kernel_size, 2)
     m = _filter_runs_flat(m, offsets, p.min_run, p.max_run)
-    cov = np.bincount(row_idx, weights=m, minlength=B) / np.maximum(lengths, 1)
+    cov = _row_sums(m, offsets, lengths) / np.maximum(lengths, 1)
     return m, wm, cov
 
 
@@ -472,20 +474,20 @@ def apply_mask_batch(flat: np.ndarray, mask_flat: np.ndarray,
     dynamic_radius; empty-mask rows pass through (P10)."""
     p = params
     offsets = np.asarray(offsets, dtype=_I64)
-    B = offsets.size - 1
     lengths = np.diff(offsets)
-    row_idx = np.repeat(np.arange(B, dtype=_I64), lengths)
     out = np.array(flat, dtype=np.int32, copy=True)
     m = np.asarray(mask_flat, dtype=bool)
     if not m.any():
         return out
-    cov = np.bincount(row_idx, weights=m, minlength=B) / np.maximum(lengths, 1)
+    cov = _row_sums(m, offsets, lengths) / np.maximum(lengths, 1)
     radius = np.maximum(
         2, (p.inpaint_radius + cov * 10.0 * p.inpaint_strength).astype(_I64))
+    if p.inpaint_strength >= rk.BLEND_FULL_STRENGTH or p.inpaint_strength == 1.0:
+        # in-place scatter (boundaries read from unmasked positions)
+        _inpaint_flat(out, m, offsets, radius)
+        return out
     filled = out.copy()
     _inpaint_flat(filled, m, offsets, radius)
-    if p.inpaint_strength >= rk.BLEND_FULL_STRENGTH or p.inpaint_strength == 1.0:
-        return np.where(m, filled, out)
     bf = m.astype(np.float32) * np.float32(p.inpaint_strength)
     res = (out.astype(np.float32) * (np.float32(1.0) - bf)
            + filled.astype(np.float32) * bf)
