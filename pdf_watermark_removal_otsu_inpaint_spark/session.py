@@ -91,6 +91,10 @@ def get_spark(app_name: str = "pdf-wm-token-engine", cpus: int | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
+        # bucketed-table warehouse (co-located joins) outside the repo
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE",
+                               "/tmp/spark_graft_warehouse"))
         .config("spark.sql.parquet.filterPushdown", "true")
         # CPU-dense token rows need fine input splits: 128m splits cap
         # concurrent kernel tasks well below the core count (BENCH.md)

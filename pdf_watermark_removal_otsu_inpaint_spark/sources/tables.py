@@ -45,3 +45,15 @@ def write_sequences(df: DataFrame, location: str, mode: str = "append") -> None:
         df.write.format("iceberg").mode(mode).save(location)
     else:
         df.write.mode(mode).parquet(location)
+
+
+def write_sequences_bucketed(df: DataFrame, table: str, buckets: int = 64,
+                             key: tuple[str, ...] = ("doc_id", "seq_no"),
+                             mode: str = "overwrite") -> None:
+    """Bucketed+sorted table on the sink key: two tables bucketed the same
+    way join WITHOUT a shuffle or sort (co-located join — the 100 TB
+    strategy for the repeated detect-masks ⋈ sequences join; on Iceberg the
+    equivalent is a bucket partition transform). Plan shape pinned in
+    tests/test_plan_hygiene.py::test_bucketed_join_is_colocated."""
+    (df.write.mode(mode).bucketBy(buckets, *key).sortBy(*key)
+       .format("parquet").saveAsTable(table))

@@ -108,3 +108,40 @@ def test_map_only_training_ops_are_shuffle_free(spark):
     for name in ("q25_minhash_signatures", "q23_doc_quality"):
         p = plan_of(QUERIES[name](spark, SF_DIR))
         assert "Exchange" not in p, name
+
+
+def test_bucketed_join_is_colocated(spark):
+    """Two tables bucketed+sorted on (doc_id, seq_no) join with NO Exchange
+    and NO Sort — the co-located join strategy for the repeated
+    masks ⋈ sequences join at 100 TB."""
+    from pdf_watermark_removal_otsu_inpaint_spark.operators.repair import (
+        detect_masks)
+    from pdf_watermark_removal_otsu_inpaint_spark.sources.sequences import (
+        sequences_df)
+    from pdf_watermark_removal_otsu_inpaint_spark.sources.tables import (
+        write_sequences_bucketed)
+    import shutil as _sh
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    for tbl in ("seq_b", "masks_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        _sh.rmtree(f"{wh}/{tbl}", ignore_errors=True)
+    df = sequences_df(spark, 30, seed=21)
+    write_sequences_bucketed(df, "seq_b", buckets=4)
+    write_sequences_bucketed(
+        detect_masks(df).select("doc_id", "seq_no", "mask", "wm_token"),
+        "masks_b", buckets=4)
+    # force the shuffle-join path (tiny test tables would broadcast and the
+    # planner disables bucketing) so the plan shows what a 100 TB join does
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("seq_b").join(spark.table("masks_b"),
+                                           ["doc_id", "seq_no"])
+        p = plan_of(joined)
+        assert "Exchange" not in p
+        assert "SortMergeJoin" in p
+        assert joined.count() == 30
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE seq_b")
+        spark.sql("DROP TABLE masks_b")
