@@ -395,22 +395,27 @@ def detect_batch(flat: np.ndarray, offsets: np.ndarray,
     offsets = np.asarray(offsets, dtype=_I64)
     B = offsets.size - 1
     lengths = np.diff(offsets)
-    row_idx = np.repeat(np.arange(B, dtype=_I64), lengths)
-    g = np.mod(np.asarray(flat), 256).astype(np.int32, copy=False)
+    g = np.asarray(flat).astype(np.uint8)  # low byte == mod 256
     wm = (np.full(B, -1, dtype=np.int32) if wm_in is None
           else np.asarray(wm_in, dtype=np.int32).copy())
     need = wm < 0
     if need.any():
+        row_idx = np.repeat(np.arange(B, dtype=_I64), lengths)
         det = _detect_wm_batch(g, offsets, lengths, row_idx)
         wm = np.where(need, det, wm)
-    wm_pos = wm[row_idx]
-    m = (np.abs(g - wm_pos) < p.color_tolerance) & (wm_pos >= 0)
-    m &= ~(g > rk.BACKGROUND_THRESHOLD)
+    # uint8 interval test with per-row repeated byte bounds (as repair_batch)
+    valid = wm >= 0
+    lo_b = np.where(valid, np.clip(wm - (p.color_tolerance - 1), 0, 255),
+                    1).astype(np.uint8)
+    hi_b = np.where(valid, np.clip(wm + (p.color_tolerance - 1), 0, 255),
+                    0).astype(np.uint8)
+    m = (g >= np.repeat(lo_b, lengths)) & (g <= np.repeat(hi_b, lengths))
+    m &= g <= rk.BACKGROUND_THRESHOLD
     if p.protect_text:
         prot_rows = ~((wm >= rk.TEXTLIKE_LO) & (wm <= rk.TEXTLIKE_HI))
         if prot_rows.any() and m.any():
             tp = _text_protect_flat(g, offsets, p.text_expand)
-            m &= ~(tp & prot_rows[row_idx])
+            m &= ~(tp & np.repeat(prot_rows, lengths))
     m = _open_flat(m, offsets, p.kernel_size, 1)
     m = _close_flat(m, offsets, p.kernel_size, 2)
     m = _filter_runs_flat(m, offsets, p.min_run, p.max_run)
