@@ -156,11 +156,15 @@ class IcebergMergeSink:
         if self.is_committed(spark, batch_id):
             return
         self._ensure_tables(spark, batch_df)
-        deduped = batch_df.dropDuplicates(self.key_cols)
-        view = f"_updates_b{batch_id}"
-        deduped.createOrReplaceTempView(view)
-        spark.sql(self.merge_sql(view))
-        n = spark.table(self.table).count()
+        deduped = batch_df.dropDuplicates(self.key_cols).cache()
+        try:
+            view = f"_updates_b{batch_id}"
+            deduped.createOrReplaceTempView(view)
+            spark.sql(self.merge_sql(view))
+            n = deduped.count()  # rows upserted by this batch (same
+            # semantics as the parquet sink's commit-marker row count)
+        finally:
+            deduped.unpersist()
         spark.sql(f"INSERT INTO {self.ledger} VALUES "
                   f"({int(batch_id)}, {int(n)})")
 
