@@ -57,26 +57,43 @@ def extract_features(media: DataFrame, n_feat: int = 8,
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, frames = [], []
-            for payload in pdf["payload"]:
-                samples = _fake_decode(bytes(payload))
-                # n_feat bucket means over the sample vector
-                if samples.size == 0:
-                    feats.append([0.0] * n_feat)
-                    frames.append(0)
-                    continue
-                idx = (np.arange(samples.size) * n_feat) // samples.size
-                sums = np.bincount(idx, weights=samples, minlength=n_feat)
-                cnts = np.maximum(np.bincount(idx, minlength=n_feat), 1)
-                # raw means (exact: integer-valued doubles); rounding is the
-                # caller's choice so query-level ROUND matches the oracle's
-                feats.append((sums / cnts).tolist())
-                frames.append(int(np.ceil(samples.size / frame_stride)))
+            payloads = [bytes(p) for p in pdf["payload"]]
+            B = len(payloads)
+            lengths = np.fromiter((len(p) for p in payloads), dtype=np.int64,
+                                  count=B)
+            offsets = np.zeros(B + 1, dtype=np.int64)
+            np.cumsum(lengths, out=offsets[1:])
+            flat = (np.frombuffer(b"".join(payloads), dtype=np.uint8)
+                    .astype(np.float64))
+            # whole-batch bucket means: sample j of row i belongs to bucket
+            # (j*n_feat)//n_i, so bucket k starts at ceil(k*n_i/n_feat) —
+            # one reduceat over all (row, bucket) boundary positions
+            k = np.arange(n_feat, dtype=np.int64)
+            bounds = (offsets[:-1, None]
+                      + (k[None, :] * lengths[:, None] + n_feat - 1)
+                      // n_feat).ravel()
+            cnts = np.diff(np.append(bounds, flat.size))
+            if flat.size and not (cnts <= 0).any():
+                sums = np.add.reduceat(flat, bounds)
+                feats = (sums / cnts).reshape(B, n_feat)
+            else:
+                # short rows (n_i < n_feat) create empty reduceat segments —
+                # fall back per row only then (never for real payloads)
+                feats = np.zeros((B, n_feat))
+                for i, p in enumerate(payloads):
+                    s = _fake_decode(p)
+                    if s.size == 0:
+                        continue
+                    idx = (np.arange(s.size) * n_feat) // s.size
+                    su = np.bincount(idx, weights=s, minlength=n_feat)
+                    ct = np.maximum(np.bincount(idx, minlength=n_feat), 1)
+                    feats[i] = su / ct
+            frames = np.ceil(lengths / frame_stride).astype(np.int32)
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "kind": [m["kind"] for m in pdf["meta"]],
                 "byte_len": [m["byte_len"] for m in pdf["meta"]],
-                "feature": feats,
+                "feature": [feats[i] for i in range(B)],
                 "frames": frames,
             })
 
