@@ -513,8 +513,14 @@ def test_make_sink_contract(spark, tmp_path):
     assert not iceberg_available(spark)
     assert isinstance(make_sink(str(tmp_path / "out"), spark),
                       ExactlyOnceParquetSink)
-    assert isinstance(make_sink("cat.db.repaired", spark),
-                      ExactlyOnceParquetSink)
+    import shutil as _sh
+    try:
+        assert isinstance(make_sink("cat.db.repaired", spark),
+                          ExactlyOnceParquetSink)
+    finally:
+        # the parquet fallback treats the catalog name as a relative path
+        # and creates its _commits dir — don't leave it in the repo cwd
+        _sh.rmtree("cat.db.repaired", ignore_errors=True)
     # the MERGE statement itself (exercised the day a catalog exists)
     m = IcebergMergeSink("cat.db.repaired")
     sql = m.merge_sql()
