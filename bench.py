@@ -441,6 +441,8 @@ def main():
         result["scaling"] = scaling
         north = run_north_ladder()
         result["scaling_n_to_4n"] = north
+        # the north-rule criterion (N -> 4N executors, same job+input):
+        result["scaling_efficiency_north"] = north["efficiency_2_to_8"]
         ceiling = host_ceiling_probe()
         result["host_ceiling"] = ceiling
         _write_bench_md(result, scaling, north, ceiling)
