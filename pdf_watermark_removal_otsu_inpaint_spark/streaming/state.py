@@ -20,51 +20,57 @@ DETECT_STATE_OUTPUT = ("doc_id string, seq_no long, event_ts timestamp, "
 DETECT_STATE_SCHEMA = "wm_token int, rows_seen long"
 
 
+def detect_group_batch(pdf: pd.DataFrame, wm: int | None,
+                       p: EngineParams) -> tuple[pd.DataFrame, int | None]:
+    """Shared X5 group body (v1 applyInPandasWithState AND v2
+    transformWithStateInPandas): whole-batch vectorized detection with the
+    cache-once carry-over (the reference's self.watermark_color,
+    watermark_detector.py:562-568) resolved as a prefix rule — rows after
+    the FIRST self-detecting row inherit its token. Returns (output frame,
+    possibly-updated wm)."""
+    from ..operators.repair_vectorized import (_detect_wm_batch, detect_batch,
+                                               flatten_arrays)
+    B = len(pdf)
+    flat, offsets = flatten_arrays(pdf["tokens"])
+    flat = np.ascontiguousarray(flat, dtype=np.int32)
+    if wm is not None:
+        wm_used = np.full(B, wm, dtype=np.int32)
+        froms = np.ones(B, dtype=bool)
+    else:
+        g = flat.astype(np.uint8)
+        lengths = np.diff(offsets)
+        row_idx = np.repeat(np.arange(B, dtype=np.int64), lengths)
+        det = _detect_wm_batch(g, offsets, lengths, row_idx)
+        wm_used = det.copy()
+        froms = np.zeros(B, dtype=bool)
+        found = np.flatnonzero(det >= 0)
+        if found.size:
+            first = found[0]
+            wm_used[first + 1:] = det[first]  # cache-once
+            froms[first + 1:] = True
+            wm = int(det[first])
+    mask_flat, wm_out, covs = detect_batch(flat, offsets, p, wm_in=wm_used)
+    out = pd.DataFrame({
+        "doc_id": pdf["doc_id"], "seq_no": pdf["seq_no"],
+        "event_ts": pdf["event_ts"], "source": pdf["source"],
+        "mask": [mask_flat[offsets[i]:offsets[i + 1]] for i in range(B)],
+        "wm_token": [None if w < 0 else int(w) for w in wm_out],
+        "coverage": covs,
+        "from_state": froms,
+    })
+    return out, wm
+
+
 def make_stateful_detect(params: EngineParams = DEFAULT_PARAMS):
     p = params
 
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-        # whole-batch vectorized: the cache-once carry-over (the reference's
-        # self.watermark_color, watermark_detector.py:562-568) is resolved as
-        # a prefix rule over the batch — rows after the FIRST self-detecting
-        # row inherit its token; detection itself runs on the flat buffer
-        from ..operators.repair_vectorized import (_detect_wm_batch,
-                                                   detect_batch,
-                                                   flatten_arrays)
         source, doc_id = key
         wm, rows_seen = (state.get if state.exists else (None, 0))
         for pdf in pdf_iter:
-            B = len(pdf)
-            flat, offsets = flatten_arrays(pdf["tokens"])
-            flat = np.ascontiguousarray(flat, dtype=np.int32)
-            if wm is not None:
-                wm_used = np.full(B, wm, dtype=np.int32)
-                froms = np.ones(B, dtype=bool)
-            else:
-                g = np.mod(flat, 256).astype(np.int32, copy=False)
-                lengths = np.diff(offsets)
-                row_idx = np.repeat(np.arange(B, dtype=np.int64), lengths)
-                det = _detect_wm_batch(g, offsets, lengths, row_idx)
-                wm_used = det.copy()
-                froms = np.zeros(B, dtype=bool)
-                found = np.flatnonzero(det >= 0)
-                if found.size:
-                    first = found[0]
-                    wm_used[first + 1:] = det[first]  # cache-once
-                    froms[first + 1:] = True
-                    wm = int(det[first])
-            mask_flat, wm_out, covs = detect_batch(flat, offsets, p,
-                                                   wm_in=wm_used)
-            rows_seen += B
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"], "seq_no": pdf["seq_no"],
-                "event_ts": pdf["event_ts"], "source": pdf["source"],
-                "mask": [mask_flat[offsets[i]:offsets[i + 1]]
-                         for i in range(B)],
-                "wm_token": [None if w < 0 else int(w) for w in wm_out],
-                "coverage": covs,
-                "from_state": froms,
-            })
+            out, wm = detect_group_batch(pdf, wm, p)
+            rows_seen += len(pdf)
+            yield out
         state.update((wm, rows_seen))
         # state for a doc expires after silence (bounded state at 10^12 docs)
         if hasattr(state, "setTimeoutTimestamp") and state.getCurrentWatermarkMs() > 0:

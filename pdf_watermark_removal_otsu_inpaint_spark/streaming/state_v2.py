@@ -34,32 +34,16 @@ class DetectProcessor(StatefulProcessor):
 
     def handleInputRows(self, key, rows: Iterator[pd.DataFrame],
                         timerValues) -> Iterator[pd.DataFrame]:
-        from .. import reference_kernels as rk
+        # same whole-batch vectorized body as the v1 API (state.py)
+        from .state import detect_group_batch
         p = self.p
         wm = None
         if self.wm_state.exists():
             got = self.wm_state.get()
             wm = got[0] if got is not None else None
         for pdf in rows:
-            masks, wms, covs, froms = [], [], [], []
-            for arr in pdf["tokens"]:
-                a = np.asarray(arr)
-                from_state = wm is not None
-                mask, wfound = rk.detect_refine(
-                    a, wm, p.color_tolerance, p.kernel_size, p.protect_text,
-                    p.text_expand, p.min_run, p.max_run)
-                if wm is None and wfound is not None:
-                    wm = int(wfound)
-                masks.append(mask)
-                wms.append(wfound if wfound is not None else wm)
-                covs.append(rk.coverage(mask))
-                froms.append(from_state)
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"], "seq_no": pdf["seq_no"],
-                "event_ts": pdf["event_ts"], "source": pdf["source"],
-                "mask": masks, "wm_token": wms, "coverage": covs,
-                "from_state": froms,
-            })
+            out, wm = detect_group_batch(pdf, wm, p)
+            yield out
         if wm is not None:
             self.wm_state.update((wm,))
 
