@@ -237,6 +237,38 @@ def run_stateful_pipeline(seq: DataFrame, out_dir: str, checkpoint_dir: str,
     return query
 
 
+def run_window_detect_pipeline(seq: DataFrame, out_dir: str,
+                               checkpoint_dir: str,
+                               duration: str = "1 minute",
+                               params: EngineParams = DEFAULT_PARAMS,
+                               trigger_once: bool = True):
+    """north_star A-chain, window-keyed: per-(event-time window, source)
+    token-frequency histograms select the dominant watermark token (A1→A3,
+    detect_watermark_color semantics at window scope) which is broadcast
+    back onto that window's rows and drives the fused repair with the token
+    GIVEN (rows in windows with no qualifying token fall back to per-row
+    self-detection, the engine default). Committed exactly-once."""
+    from pyspark.sql import functions as F
+
+    from ..operators.histogram import dominant_token
+    from ..operators.repair import repair_sequences
+    sink = ExactlyOnceParquetSink(out_dir)
+
+    def process(batch_df, batch_id):
+        win = batch_df.withColumn("win", F.window("event_ts", duration).start)
+        dom = dominant_token(win, ["win", "source"]) \
+            .select("win", "source", F.col("wm_token").alias("_win_wm"))
+        joined = win.join(F.broadcast(dom), ["win", "source"], "left")
+        out = repair_sequences(joined, params, wm_token=F.col("_win_wm"))
+        sink(out, batch_id)
+
+    writer = (seq.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_otsu_pipeline(seq: DataFrame, out_dir: str, checkpoint_dir: str,
                       params: EngineParams = DEFAULT_PARAMS,
                       trigger_once: bool = True,

@@ -559,3 +559,43 @@ def test_dedup_stream_drops_replayed_rows(spark, tmp_path):
     got = sorted((r.doc_id, r.seq_no) for r in
                  spark.sql("SELECT * FROM dedup_stream").collect())
     assert got == [("docA", 0), ("docA", 1), ("docA", 2)]
+
+
+def test_window_detect_pipeline_matches_batch(spark, tmp_path):
+    """north_star A-chain: per-(window, source) dominant-token detection
+    drives repair with the token GIVEN; streaming result == the same
+    composition run as one batch, and == the kernel with the window token."""
+    d = str(tmp_path / "seq")
+    df = sequences_df(spark, 40, seed=23)
+    write_batches(spark, [df], d)
+    from pdf_watermark_removal_otsu_inpaint_spark.operators.histogram import (
+        dominant_token)
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.pipeline import (
+        run_window_detect_pipeline)
+    q = run_window_detect_pipeline(file_stream(spark, d),
+                                   str(tmp_path / "out"), str(tmp_path / "ck"),
+                                   duration="1 minute")
+    q.awaitTermination(180)
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"))
+    got = {(r.doc_id, r.seq_no): (r.tokens, r.wm_token)
+           for r in sink.read_committed(spark).collect()}
+    # batch equivalent of the same composition
+    win = _seq_cols(df).withColumn("win", F.window("event_ts", "1 minute").start)
+    dom = dominant_token(win, ["win", "source"]) \
+        .select("win", "source", F.col("wm_token").alias("_win_wm"))
+    joined = win.join(F.broadcast(dom), ["win", "source"], "left")
+    exp = {(r.doc_id, r.seq_no): (r.tokens, r.wm_token)
+           for r in repair_sequences(joined, DEFAULT_PARAMS,
+                                     wm_token=F.col("_win_wm")).collect()}
+    assert len(got) == df.count()
+    assert got == exp
+    # spot-check the kernel with the window-level token on one repaired row
+    wm_rows = [k for k, v in got.items() if v[1] is not None]
+    assert wm_rows, "no window produced a dominant token"
+    doc_id, seq_no = wm_rows[0]
+    src = {(r["doc_id"], r["seq_no"]): r["tokens"]
+           for r in df.select("doc_id", "seq_no", "tokens").collect()}
+    toks = np.array(src[(doc_id, seq_no)])
+    wm = got[(doc_id, seq_no)][1]
+    exp_t, _, _ = rk.remove_watermark(toks, wm)
+    assert got[(doc_id, seq_no)][0] == exp_t.astype(np.int32).tolist()
