@@ -3,13 +3,16 @@ candidate-pair graph (the step after MinHash/LSH pair generation in a
 training-data dedup pipeline — pairs say "a matches b", clusters decide
 which rows to keep).
 
-Algorithm: iterative min-label propagation (the standard shuffle-bounded
-Spark formulation — each round is one equi-join + partial-aggregated
-groupBy; rounds needed = graph diameter in label-hops, O(log n) on dedup
-graphs whose components are near-cliques). The driver-side loop runs a
-convergence ACTION per round, which is inherent to iterative fixpoints
-(GraphX/Pregel do the same); every per-row operation stays distributed.
-`localCheckpoint` truncates the lineage each round so plans don't grow.
+Algorithm: iterative min-label propagation with pointer-jumping (each
+round pulls the min neighbor label — one equi-join + partial-aggregated
+groupBy — then shortcuts every label to its label's label, so covered hop
+distance doubles per round: O(log diameter) rounds, not O(diameter), even
+on path-shaped components). The driver-side loop runs a convergence ACTION
+per round, which is inherent to iterative fixpoints (GraphX/Pregel do the
+same); every per-row operation stays distributed. `localCheckpoint`
+truncates the lineage each round so plans don't grow. Exhausting
+max_iterations without convergence RAISES rather than silently returning
+partial clusters.
 """
 
 from __future__ import annotations
@@ -29,6 +32,7 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     sym = sym.repartition("v").localCheckpoint()
     labels = vertices.select(F.col("id"),
                              F.col("id").alias("lbl")).localCheckpoint()
+    converged = False
     for _ in range(max_iterations):
         # pull the smallest neighbor label across each edge
         prop = (sym.join(labels, sym.v == labels.id)
@@ -38,11 +42,28 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
                               F.least(F.col("lbl"),
                                       F.coalesce(F.col("nlbl"), F.col("lbl")))
                               .alias("lbl")))
+        # pointer-jumping: lbl <- min(lbl, lbl(lbl)). lbl(lbl) is always a
+        # reachable label, so the fixpoint is unchanged, but the covered
+        # hop distance doubles each round (chains converge in O(log d))
+        jump = new_labels.select(F.col("id").alias("jid"),
+                                 F.col("lbl").alias("jlbl"))
+        new_labels = (new_labels.join(jump, new_labels.lbl == jump.jid,
+                                      "left")
+                      .select(F.col("id"),
+                              F.least(F.col("lbl"),
+                                      F.coalesce(F.col("jlbl"), F.col("lbl")))
+                              .alias("lbl")))
         new_labels = new_labels.localCheckpoint()
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
                    .where(F.col("n.lbl") != F.col("o.lbl")).limit(1).count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds; raise max_iterations (rounds needed is "
+            "O(log(component diameter)))")
     return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))

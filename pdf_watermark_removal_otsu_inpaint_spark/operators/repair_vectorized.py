@@ -44,11 +44,16 @@ def _spans_rowwise(m: np.ndarray, offsets: np.ndarray):
     prev = np.empty(n, dtype=bool)
     prev[0] = False
     prev[1:] = m[:-1]
-    prev[offsets[:-1]] = False          # break continuity at row starts
+    # empty rows make offsets[i] == offsets[i+1]: a trailing empty row puts
+    # n in the starts (out of range) and a leading empty row puts 0 in the
+    # ends (index -1 would wrap) — mask both out
+    b = offsets[:-1]
+    prev[b[b < n]] = False              # break continuity at row starts
     nxt = np.empty(n, dtype=bool)
     nxt[-1] = False
     nxt[:-1] = m[1:]
-    nxt[offsets[1:] - 1] = False        # break continuity at row ends
+    t = offsets[1:]
+    nxt[t[t > 0] - 1] = False           # break continuity at row ends
     starts = np.flatnonzero(m & ~prev).astype(_I64)
     ends = (np.flatnonzero(m & ~nxt) + 1).astype(_I64)
     rows = np.searchsorted(offsets, starts, side="right") - 1
@@ -207,7 +212,7 @@ def _detect_wm_batch(g, offsets, lengths, row_idx):
     hist = np.bincount(row_idx * 256 + g, minlength=B * 256).reshape(B, 256)
     order = np.argsort(hist, axis=1, kind="stable")[:, ::-1][:, :rk.TOPK_MODES]
     counts = np.take_along_axis(hist, order, axis=1)
-    cov = counts * 100.0 / lengths[:, None]
+    cov = counts * 100.0 / np.maximum(lengths, 1)[:, None]
     qual = ((order >= rk.WM_VALUE_LO) & (order <= rk.WM_VALUE_HI)
             & (cov >= rk.WM_COV_LO) & (cov <= rk.WM_COV_HI))
     has = qual.any(axis=1)
@@ -269,17 +274,15 @@ def _inpaint_flat(out, m, offsets, radius_per_row):
 
 def _row_sums(m: np.ndarray, offsets: np.ndarray,
               lengths: np.ndarray) -> np.ndarray:
-    """Per-row True counts of a flat bool mask — add.reduceat (no float64
-    weight conversion, no int64 row-index gather like bincount needs).
-    reduceat mis-handles empty rows (idx[i] == idx[i+1] yields m[idx[i]]),
-    so zero them explicitly."""
+    """Per-row True counts of a flat bool mask via prefix sums — exact for
+    empty rows anywhere in the batch (reduceat mis-handles idx[i]==idx[i+1]
+    and clamping the start index steals the previous row's last element)."""
     if m.size == 0:
         return np.zeros(lengths.size, dtype=_I64)
-    s = np.add.reduceat(m, np.minimum(offsets[:-1], m.size - 1),
-                        dtype=_I64)
-    if (lengths == 0).any():
-        s = np.where(lengths == 0, 0, s)
-    return s
+    c = np.empty(m.size + 1, dtype=_I64)
+    c[0] = 0
+    np.cumsum(m, dtype=_I64, out=c[1:])
+    return c[offsets[1:]] - c[offsets[:-1]]
 
 
 def repair_batch(flat: np.ndarray, offsets: np.ndarray,

@@ -19,10 +19,16 @@ def _ensure_protobuf_shim() -> None:
     version check against Spark's StateMessage_pb2. This image has no
     protobuf on sys.path, but the host's Google Cloud SDK ships a vendored
     modern copy (6.32) — one minor behind Spark 4.1's gencode (6.33), so the
-    shim also lifts the declared runtime minor (StateMessage.proto uses no
-    6.33-only feature). No-op wherever protobuf is properly installed (any
-    real deployment); the copy is built once under the system temp dir with
-    an atomic rename so concurrent sessions can't half-read it."""
+    shim lifts the declared runtime minor to EXACTLY 33, the version Spark's
+    gencode requires (StateMessage.proto uses no 6.33-only feature). Pinning
+    to 33 — not an unconditional bypass — keeps the gencode/runtime
+    compatibility check meaningful for every other consumer: gencode newer
+    than 6.33 still fails loudly. No-op wherever protobuf is properly
+    installed (any real deployment); the copy is built once under the system
+    temp dir with an atomic rename so concurrent sessions can't half-read
+    it. The shim directory is appended to PYTHONPATH because Spark's Python
+    workers inherit the driver env; it is only ever a fallback (real
+    installs shadow it) and must not be exported to unrelated processes."""
     try:
         import google.protobuf  # noqa: F401
         return
@@ -44,7 +50,7 @@ def _ensure_protobuf_shim() -> None:
         rv = os.path.join(build, "google", "protobuf", "runtime_version.py")
         with open(rv) as f:
             src = f.read()
-        src = src.replace("OSS_MINOR = 32", "OSS_MINOR = 99")
+        src = src.replace("OSS_MINOR = 32", "OSS_MINOR = 33")
         src = src.replace("OSS_SUFFIX = '-dev'", "OSS_SUFFIX = ''")
         with open(rv, "w") as f:
             f.write(src)

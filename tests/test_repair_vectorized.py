@@ -124,6 +124,28 @@ def test_empty_and_tiny_rows(spark):
     assert a == b == {"d0": [], "d1": [200], "d2": [255] * 10}
 
 
+def test_empty_rows_in_batch_kernels():
+    """Zero-length rows anywhere in a batch (head / middle / tail) flow
+    through repair_batch, detect_batch and apply_mask_batch without crashing
+    and with per-row results equal to the reference kernels (empty row ->
+    empty output, zero coverage). Regression: a trailing empty row used to
+    put m.size into _spans_rowwise's start-boundary scatter (IndexError)."""
+    from pdf_watermark_removal_otsu_inpaint_spark.operators.repair_vectorized import (  # noqa: E501
+        apply_mask_batch, detect_batch)
+    wm_row = scenario_tokens("wm_basic", 600)
+    for layout in ([[], list(wm_row)], [list(wm_row), []],
+                   [[], list(wm_row), [], [200] * 30, []], [[], []]):
+        _check(layout, DEFAULT_PARAMS.with_(passes=2))
+        flat, offsets = _flat(layout)
+        mask, wm, cov = detect_batch(flat, offsets, DEFAULT_PARAMS)
+        assert mask.size == flat.size
+        for i, r in enumerate(layout):
+            if not r:
+                assert wm[i] == -1 and cov[i] == 0.0
+        out = apply_mask_batch(flat, mask, offsets, DEFAULT_PARAMS)
+        assert out.size == flat.size
+
+
 def test_fused_text_path_matches_split_ascii(spark):
     """repair_text_arrow (zero-copy UTF-8 tokenization) == the split+ascii
     + per-row pandas path on the real documents table."""
