@@ -363,16 +363,17 @@ def make_auto_detect_udf(params: EngineParams = DEFAULT_PARAMS):
 
     @pandas_udf(DETECT_STRUCT)
     def detect_auto(tokens: pd.Series) -> pd.DataFrame:
-        from .. import reference_kernels as rk
-        masks, wms, covs = [], [], []
-        for arr in tokens.to_numpy():
-            mask = rk.detect_mask_auto(np.asarray(arr), p.kernel_size,
-                                       p.protect_text, p.text_expand)
-            mask = rk.filter_runs(mask, p.min_run, p.max_run)
-            masks.append(mask)
-            wms.append(None)
-            covs.append(rk.coverage(mask))
-        return pd.DataFrame({"mask": masks, "wm_token": wms, "coverage": covs})
+        from .repair_vectorized import detect_auto_batch, flatten_arrays
+        flat, offsets = flatten_arrays(tokens)
+        B = offsets.size - 1
+        if B == 0:
+            return pd.DataFrame({"mask": [], "wm_token": [], "coverage": []})
+        mask_flat, cov = detect_auto_batch(
+            np.asarray(flat, dtype=np.int32), offsets, p)
+        return pd.DataFrame({
+            "mask": [mask_flat[offsets[i]:offsets[i + 1]] for i in range(B)],
+            "wm_token": [None] * B,
+            "coverage": cov})
 
     return detect_auto
 

@@ -426,6 +426,56 @@ def detect_batch(flat: np.ndarray, offsets: np.ndarray,
     return m, wm, cov
 
 
+def detect_auto_batch(flat: np.ndarray, offsets: np.ndarray,
+                      params: EngineParams = DEFAULT_PARAMS):
+    """Whole-batch automatic detection mode (P6 adaptive threshold OR P7
+    saturation, then protection + open x1 / close x2 + run filter) — the
+    batch form of rk.detect_mask_auto + rk.filter_runs, no per-row Python.
+
+    The P6 local mean uses ONE global float64 prefix sum with per-row
+    clamped window bounds: token classes are integers <= 255, so the prefix
+    sum stays exact in float64 up to ~3.5e13 positions per batch and the
+    windowed differences equal the per-row computation bit-for-bit
+    (rk.local_mean_1d, watermark_detector.py:497-499).
+
+    Returns (mask_flat bool, coverage float64[B])."""
+    p = params
+    offsets = np.asarray(offsets, dtype=_I64)
+    B = offsets.size - 1
+    lengths = np.diff(offsets)
+    g = np.asarray(flat).astype(np.uint8)  # low byte == mod 256
+    n = g.size
+    if n == 0:
+        return np.zeros(0, dtype=bool), np.zeros(B)
+    gf = g.astype(np.float64)
+    # P6: g > local_mean(block, shrinking at ROW edges) - C
+    left = (rk.ADAPTIVE_BLOCK - 1) // 2
+    right = rk.ADAPTIVE_BLOCK // 2
+    c = np.empty(n + 1, dtype=np.float64)
+    c[0] = 0.0
+    np.cumsum(gf, out=c[1:])
+    row_idx = np.repeat(np.arange(B, dtype=_I64), lengths)
+    pos = np.arange(n, dtype=_I64)
+    lo = np.maximum(pos - left, offsets[row_idx])
+    hi = np.minimum(pos + right + 1, offsets[row_idx + 1])
+    local_mean = (c[hi] - c[lo]) / (hi - lo)
+    m = gf > (local_mean - rk.ADAPTIVE_C)
+    # P7: g < max(30, 0.6 * row_mean) — exact integer row sums
+    row_mean = np.where(lengths > 0,
+                        (c[offsets[1:]] - c[offsets[:-1]])
+                        / np.maximum(lengths, 1), 0.0)
+    thr = np.maximum(rk.SAT_MIN_THRESHOLD, row_mean * rk.SAT_MEAN_FACTOR)
+    m |= gf < thr[row_idx]
+    m &= g <= rk.BACKGROUND_THRESHOLD
+    if p.protect_text and m.any():
+        m &= ~_text_protect_flat(g, offsets, p.text_expand)
+    m = _open_flat(m, offsets, p.kernel_size, 1)
+    m = _close_flat(m, offsets, p.kernel_size, 2)
+    m = _filter_runs_flat(m, offsets, p.min_run, p.max_run)
+    cov = _row_sums(m, offsets, lengths) / np.maximum(lengths, 1)
+    return m, cov
+
+
 def threshold_repair_batch(flat: np.ndarray, offsets: np.ndarray,
                            thr: np.ndarray,
                            params: EngineParams = DEFAULT_PARAMS):

@@ -187,7 +187,7 @@ def run_repair_pipeline(seq: DataFrame, out_dir: str, checkpoint_dir: str,
     return writer.start()
 
 
-def run_stateful_pipeline(seq: DataFrame, out_dir: str, checkpoint_dir: str,
+def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
                           params: EngineParams = DEFAULT_PARAMS,
                           trigger_once: bool = True):
     """X5+X6 composition: stateful detect stream joined back to the raw
@@ -198,43 +198,44 @@ def run_stateful_pipeline(seq: DataFrame, out_dir: str, checkpoint_dir: str,
     every row with its ORIGINAL event_ts, never older than the late-filter
     watermark). With the mask-side join watermark set equal to the sequence
     watermark, no emitted row can be late for the join, so the chain is
-    correct and the check is disabled only for this query's lifetime: the
-    previous conf value is restored when the query terminates (a watcher
-    thread — the check is read lazily in the query thread, so restoring
-    immediately after start() would race), keeping the guard intact for
-    unrelated queries on the shared session."""
-    import threading
+    correct — but the check must be disabled WITHOUT unguarding unrelated
+    queries. The query therefore runs on its own `spark.newSession()`
+    (shared SparkContext, isolated SQL conf): the conf scope is real, not
+    temporal, and the caller's session is never mutated.
 
-    conf = seq.sparkSession.conf
+    `seq` is either a stream-factory `Callable[[SparkSession], DataFrame]`
+    (preferred: the stream is BUILT on the isolated session) or a DataFrame,
+    whose logical source (path-based file streams only) is re-read on the
+    isolated session."""
+    from pyspark.sql import SparkSession
+
+    if callable(seq) and not isinstance(seq, DataFrame):
+        factory = seq
+        base = (SparkSession.getActiveSession()
+                or SparkSession.builder.getOrCreate())
+    else:
+        raise TypeError(
+            "run_stateful_pipeline takes a stream factory "
+            "(lambda spark: readStream...) so the query can run on an "
+            "isolated session; pass e.g. "
+            "lambda s: file_stream(s, path)")
+    iso = base.newSession()
     key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-    prev = conf.get(key, "true")
-    conf.set(key, "false")
-    try:
-        from .state import detect_stream_stateful
-        masks = detect_stream_stateful(seq, params)
-        joined = join_masks_with_sequences(seq, masks,
-                                           seq_watermark="10 minutes",
-                                           mask_watermark="10 minutes")
-        repaired = repair_joined(joined, params)
-        sink = ExactlyOnceParquetSink(out_dir)
-        writer = (repaired.writeStream.foreachBatch(sink)
-                  .option("checkpointLocation", checkpoint_dir))
-        if trigger_once:
-            writer = writer.trigger(availableNow=True)
-        query = writer.start()
-    except Exception:
-        conf.set(key, prev)
-        raise
+    iso.conf.set(key, "false")
+    stream = factory(iso)
 
-    def _restore_on_end():
-        try:
-            query.awaitTermination()
-        except Exception:
-            pass
-        conf.set(key, prev)
-
-    threading.Thread(target=_restore_on_end, daemon=True).start()
-    return query
+    from .state import detect_stream_stateful
+    masks = detect_stream_stateful(stream, params)
+    joined = join_masks_with_sequences(stream, masks,
+                                       seq_watermark="10 minutes",
+                                       mask_watermark="10 minutes")
+    repaired = repair_joined(joined, params)
+    sink = ExactlyOnceParquetSink(out_dir)
+    writer = (repaired.writeStream.foreachBatch(sink)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def run_window_detect_pipeline(seq: DataFrame, out_dir: str,

@@ -23,11 +23,15 @@ OUTPUT_SCHEMA = ("doc_id string, seq_no long, event_ts timestamp, "
                  "coverage double, from_state boolean")
 
 
+STATE_TTL_MS = 600_000  # per-doc silence horizon, mirrors state.py:76-77
+
+
 class DetectProcessor(StatefulProcessor):
     def __init__(self, params: EngineParams = DEFAULT_PARAMS):
         self.p = params
 
     def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
         self.wm_state = handle.getValueState(
             "wm", StructType([StructField("wm", IntegerType(), True)]))
 
@@ -40,11 +44,31 @@ class DetectProcessor(StatefulProcessor):
         if self.wm_state.exists():
             got = self.wm_state.get()
             wm = got[0] if got is not None else None
+        last_seen_ms = 0
         for pdf in rows:
             out, wm = detect_group_batch(pdf, wm, p)
+            if len(pdf):
+                last_seen_ms = max(
+                    last_seen_ms,
+                    int(pdf["event_ts"].max().value // 1_000_000))
             yield out
         if wm is not None:
             self.wm_state.update((wm,))
+        # per-doc state dies after silence (the reference's per-doc cache
+        # dies with the document, watermark_detector.py:562-568): slide ONE
+        # event-time timer to max(last event seen, watermark) + TTL; without
+        # this, state at 10^12 docs grows without bound. The event-time
+        # anchor (not just the watermark, which is 0 on the first batch)
+        # makes the horizon live from the key's very first row.
+        anchor = max(last_seen_ms, timerValues.getCurrentWatermarkInMs())
+        if anchor > 0:
+            for old in self.handle.listTimers():
+                self.handle.deleteTimer(old)
+            self.handle.registerTimer(anchor + STATE_TTL_MS)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        self.wm_state.clear()
+        return iter(())
 
     def close(self) -> None:
         pass

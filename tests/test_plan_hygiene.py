@@ -96,16 +96,16 @@ def test_dedup_queries_have_no_all_pairs_join(spark):
 
 
 def test_semi_and_anti_join_plans(spark):
-    p5 = plan_of(QUERIES["q05_customers_with_orders"](spark, SF_DIR))
-    p6 = plan_of(QUERIES["q06_customers_without_orders"](spark, SF_DIR))
+    p5 = plan_of(QUERIES["q05_customer_order_activity"](spark, SF_DIR))
     assert "LeftSemi" in p5
-    assert "LeftAnti" in p6
+    assert "LeftAnti" in p5
 
 
 def test_map_only_training_ops_are_shuffle_free(spark):
     """q25 minhash signatures and q23 quality scoring are pure maps (in-row
     array ops) — zero Exchange in the physical plan."""
-    for name in ("q25_minhash_signatures", "q23_doc_quality"):
+    for name in ("q25_minhash_signatures", "q23_doc_quality",
+                 "q27_simhash"):
         p = plan_of(QUERIES[name](spark, SF_DIR))
         assert "Exchange" not in p, name
 

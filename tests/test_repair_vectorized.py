@@ -124,6 +124,29 @@ def test_empty_and_tiny_rows(spark):
     assert a == b == {"d0": [], "d1": [200], "d2": [255] * 10}
 
 
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.lists(st.integers(min_value=0, max_value=255),
+                         min_size=0, max_size=80),
+                min_size=1, max_size=8))
+def test_detect_auto_batch_matches_reference(rows):
+    """detect_auto_batch == rk.detect_mask_auto + rk.filter_runs per row
+    (mask equality + coverage), including empty rows in the batch."""
+    from pdf_watermark_removal_otsu_inpaint_spark.operators.repair_vectorized import (  # noqa: E501
+        detect_auto_batch)
+    params = DEFAULT_PARAMS.with_(min_run=3, max_run=40)
+    flat, offsets = _flat(rows)
+    mask_flat, cov = detect_auto_batch(flat, offsets, params)
+    for i, r in enumerate(rows):
+        exp = rk.detect_mask_auto(np.asarray(r, dtype=np.int32),
+                                  params.kernel_size, params.protect_text,
+                                  params.text_expand)
+        exp = rk.filter_runs(exp, params.min_run, params.max_run)
+        got = mask_flat[offsets[i]:offsets[i + 1]]
+        assert got.tolist() == exp.tolist(), f"row {i} mask"
+        exp_cov = rk.coverage(exp) if len(r) else 0.0
+        assert abs(cov[i] - exp_cov) < 1e-12, f"row {i} cov"
+
+
 def test_empty_rows_in_batch_kernels():
     """Zero-length rows anywhere in a batch (head / middle / tail) flow
     through repair_batch, detect_batch and apply_mask_batch without crashing

@@ -326,9 +326,13 @@ def test_stateful_pipeline_resumes_from_checkpoint(spark, tmp_path):
               df.where(F.col("seq_no") % 2 == 1)]
     write_batches(spark, halves, seq_dir)
 
-    q = run_stateful_pipeline(file_stream(spark, seq_dir),
+    ck_key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    q = run_stateful_pipeline(lambda s: file_stream(s, seq_dir),
                               str(tmp_path / "out_a"), str(tmp_path / "ck_a"))
     q.awaitTermination(180)
+    # the conf disable is scoped to the query's own newSession(): the
+    # shared session's stateful-correctness guard is never mutated
+    assert spark.conf.get(ck_key, "true") == "true"
     base = {(r.doc_id, r.seq_no): r.tokens
             for r in ExactlyOnceParquetSink(str(tmp_path / "out_a"))
             .read_committed(spark).collect()}
@@ -344,8 +348,13 @@ def test_stateful_pipeline_resumes_from_checkpoint(spark, tmp_path):
     from pdf_watermark_removal_otsu_inpaint_spark.streaming.state import (
         detect_stream_stateful)
 
+    iso = spark.newSession()
+    iso.conf.set(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+        "false")
+
     def build_query(crash_on):
-        seq = file_stream(spark, seq_dir, max_files_per_trigger=1)
+        seq = file_stream(iso, seq_dir, max_files_per_trigger=1)
         masks = detect_stream_stateful(seq)
         joined = join_masks_with_sequences(seq, masks,
                                            seq_watermark="10 minutes",
@@ -361,9 +370,6 @@ def test_stateful_pipeline_resumes_from_checkpoint(spark, tmp_path):
                 .option("checkpointLocation", ck_b)
                 .trigger(availableNow=True).start())
 
-    spark.conf.set(
-        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
-        "false")
     q2 = build_query(crash_on={1})
     with pytest.raises(Exception):
         q2.awaitTermination(180)
@@ -480,6 +486,52 @@ def test_stateful_detect_v2_matches_v1(spark, tmp_path):
     assert out[1].wm_token == 200 and out[1].from_state
     exp_mask, _ = rk.detect_refine(ambiguous, 200)
     assert out[1].mask == exp_mask.tolist()
+
+
+def test_stateful_v2_state_expires_after_watermark(spark, tmp_path):
+    """X5 v2 TTL: a doc silent past the 600 s horizon has its cached wm
+    token DROPPED (timer-cleared state), so its next row self-detects from
+    scratch instead of inheriting — bounded state at 10^12 docs."""
+    import datetime as dt
+
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.state_v2 import (
+        detect_stream_stateful_v2)
+    if not _tws_available(spark, tmp_path):
+        pytest.skip("transformWithStateInPandas driver worker crashes in "
+                    "this image (XXKST on a minimal example)")
+    d = str(tmp_path / "seq")
+    n = 2000
+    detectable = np.full(n, 255, dtype=np.int32)
+    detectable[100:460] = 200
+    ambiguous = np.full(n, 255, dtype=np.int32)  # not self-detectable
+    ambiguous[100:700] = 200
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 10)
+    late = dt.datetime(2026, 1, 1, 2, 0, 0)  # ~2 h later: wm >> t0 + 600 s
+    batches = [
+        [("docA", detectable.tolist(), n, "web", t0, 0)],
+        # another key advances the watermark far past docA's TTL timer
+        [("docB", detectable.tolist(), n, "web", late, 0)],
+        # one more batch so docA's expired timer fires before it returns
+        [("docC", detectable.tolist(), n, "web",
+          late + dt.timedelta(seconds=10), 0)],
+        [("docA", ambiguous.tolist(), n, "web",
+          late + dt.timedelta(seconds=20), 1)],
+    ]
+    write_batches(spark, [spark.createDataFrame(b, SEQ_SCHEMA)
+                          for b in batches], d)
+    stream = file_stream(spark, d, max_files_per_trigger=1)
+    q = (detect_stream_stateful_v2(stream)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("stateful_v2_ttl").start())
+    q.processAllAvailable()
+    q.stop()
+    out = {(r.doc_id, r.seq_no): r
+           for r in spark.sql("SELECT * FROM stateful_v2_ttl").collect()}
+    assert out[("docA", 0)].wm_token == 200
+    # after expiry: fresh self-detection, NOT inherited state; the ambiguous
+    # pattern is not self-detectable, so wm_token must be null
+    row = out[("docA", 1)]
+    assert not row.from_state and row.wm_token is None
 
 
 def test_rate_stream_produces_sequences(spark):
