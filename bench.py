@@ -113,9 +113,36 @@ def pipeline_secs(spark, layout: str, trials: int = 3) -> float:
     return best
 
 
-def exactly_once_secs(spark) -> float:
+def histogram_compare_secs(spark, trials: int = 3) -> dict:
+    """A1 vs A1b on the pipeline input (same grouped-histogram result two
+    physical ways): explode -> partial hash agg, vs mapInPandas
+    per-batch np.bincount partials -> tree-merge (SURVEY §4.3)."""
+    from pdf_watermark_removal_otsu_inpaint_spark.operators.histogram import (
+        token_histogram, token_histogram_bincount)
+    df = spark.read.parquet(f"{BENCH_INPUT}/list")
+    out = {}
+    for name, build in (("explode", token_histogram),
+                        ("bincount", token_histogram_bincount)):
+        plan = build(df, ["source"])
+        _noop(plan)  # warm
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            _noop(plan)
+            best = min(best, time.perf_counter() - t0)
+        out[f"hist_{name}_sec"] = round(best, 3)
+    return out
+
+
+def exactly_once_secs(spark, trials: int = 3) -> float:
     """North-metric flavor: the same packed pipeline driven as a stream into
-    the exactly-once sink (data + lineage + commit markers on disk)."""
+    the exactly-once sink (data + lineage + commit markers on disk).
+
+    Best-of-N complete runs (fresh checkpoint + output dirs each): the first
+    run absorbs the streaming engine's cold-start (observed 2x the steady
+    cost — round 2 reported a single-shot 2,939 seqs/s 'regression' that was
+    exactly this), later runs measure the steady pipeline like every other
+    warmed leg."""
     import shutil as _sh
     import tempfile
 
@@ -124,31 +151,35 @@ def exactly_once_secs(spark) -> float:
     from pdf_watermark_removal_otsu_inpaint_spark.params import DEFAULT_PARAMS
     from pdf_watermark_removal_otsu_inpaint_spark.streaming.sink import (
         ExactlyOnceParquetSink)
-    out_dir = tempfile.mkdtemp(prefix="bench_e1x_")
-    ck = tempfile.mkdtemp(prefix="bench_ck_")
-    sink = ExactlyOnceParquetSink(f"{out_dir}/out")
     params = DEFAULT_PARAMS.with_(passes=2)
-    stream = (spark.readStream
-              .schema("doc_id string, n_tok int, source string, "
-                      "event_ts timestamp, seq_no long, tokens_bin binary")
-              .option("maxFilesPerTrigger", "16")
-              .parquet(f"{BENCH_INPUT}/packed"))
-    t0 = time.perf_counter()
-    q = (stream.writeStream
-         .foreachBatch(
-             lambda b, i: sink(repair_sequences_arrow_packed(b, params), i))
-         .option("checkpointLocation", ck)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
-    secs = time.perf_counter() - t0
-    n = sum(json.load(open(f"{sink.out_dir}/_commits/{b}.json"))["rows"]
-            for b in [f.split(".")[0] for f in
-                      sorted(__import__("os").listdir(f"{sink.out_dir}/_commits"))
-                      if f.endswith(".json")])
-    assert n == PIPELINE_ROWS, f"exactly-once sink rows {n} != {PIPELINE_ROWS}"
-    _sh.rmtree(out_dir, ignore_errors=True)
-    _sh.rmtree(ck, ignore_errors=True)
-    return secs
+    best = float("inf")
+    for _ in range(trials):
+        out_dir = tempfile.mkdtemp(prefix="bench_e1x_")
+        ck = tempfile.mkdtemp(prefix="bench_ck_")
+        sink = ExactlyOnceParquetSink(f"{out_dir}/out")
+        stream = (spark.readStream
+                  .schema("doc_id string, n_tok int, source string, "
+                          "event_ts timestamp, seq_no long, tokens_bin binary")
+                  .option("maxFilesPerTrigger", "16")
+                  .parquet(f"{BENCH_INPUT}/packed"))
+        t0 = time.perf_counter()
+        q = (stream.writeStream
+             .foreachBatch(
+                 lambda b, i: sink(repair_sequences_arrow_packed(b, params), i))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        secs = time.perf_counter() - t0
+        n = sum(json.load(open(f"{sink.out_dir}/_commits/{b}.json"))["rows"]
+                for b in [f.split(".")[0] for f in
+                          sorted(os.listdir(f"{sink.out_dir}/_commits"))
+                          if f.endswith(".json")])
+        assert n == PIPELINE_ROWS, \
+            f"exactly-once sink rows {n} != {PIPELINE_ROWS}"
+        _sh.rmtree(out_dir, ignore_errors=True)
+        _sh.rmtree(ck, ignore_errors=True)
+        best = min(best, secs)
+    return best
 
 
 def stateful_secs(spark, n_rows: int = 12000) -> tuple[float, int]:
@@ -478,6 +509,7 @@ def main():
         result[f"pipeline_{layout}_seqs_per_sec"] = round(PIPELINE_ROWS / secs, 1)
     result["pipeline_tokens_per_sec"] = round(
         PIPELINE_ROWS * N_TOK / result["pipeline_packed_sec"])
+    result.update(histogram_compare_secs(spark))
     e1x = exactly_once_secs(spark)
     result["exactly_once_sec"] = round(e1x, 3)
     result["exactly_once_seqs_per_sec"] = round(PIPELINE_ROWS / e1x, 1)
@@ -517,22 +549,33 @@ def _write_bench_md(result, scale, north, ceiling):
         "## North-rule ladder: N -> 4N executors (2 -> 8 pinned cores, "
         f"{north['rows']} rows)",
         "",
-        "Same job, same input, two cluster sizes emulated as separate "
-        f"{pin} processes. The input is 4x the throughput workload so each "
+        "Same job, same input, two cluster sizes emulated as persistent "
+        f"{pin} processes. The input is 8x the throughput workload so each "
         "leg runs long enough to amortize fixed job cost, and the pair sits "
         "below the host's DRAM saturation knee (probe below), so it "
         "measures the JOB's scalability — the quantity that transfers to a "
         "real cluster where each node brings its own memory bandwidth.",
         "",
-        "| cluster size | wall sec | sequences/sec |",
-        "| --- | --- | --- |",
+        f"Noise protocol: {north['trials']} trial rounds, INTERLEAVED "
+        "A/B/A/B across the two legs (both legs stay alive for the whole "
+        "measurement), MEDIAN per leg, spread = (max-min)/median. This "
+        "host's multi-second interference windows hit both legs or neither; "
+        "a single outlier trial cannot move a median (round 2's sequential "
+        "best-of-3 legs flipped 0.556 vs 0.916 on identical code when one "
+        "leg absorbed a whole window).",
+        "",
+        "| cluster size | median sec | sequences/sec | trial spread | "
+        "trials (sec) |",
+        "| --- | --- | --- | --- | --- |",
         f"| N  (local[2], pinned 2 cores)  | {north[2]['sec']} | "
-        f"{north[2]['seqs_per_sec']} |",
+        f"{north[2]['seqs_per_sec']} | {north[2]['spread']} | "
+        f"{north[2]['trials_sec']} |",
         f"| 4N (local[8], pinned 8 cores)  | {north[8]['sec']} | "
-        f"{north[8]['seqs_per_sec']} |",
+        f"{north[8]['seqs_per_sec']} | {north[8]['spread']} | "
+        f"{north[8]['trials_sec']} |",
         "",
         f"**Scaling efficiency N -> 4N: {north['efficiency_2_to_8']}** "
-        "(north_rule target >= 0.8).",
+        "(north_rule target >= 0.8; ratio of medians).",
         "",
         "## Saturation ladder: 8 -> 32 cores "
         f"({result['pipeline_rows']} rows; round-over-round comparable)",
@@ -591,6 +634,23 @@ def _write_bench_md(result, scale, north, ceiling):
         "parquet scan and ships one Arrow buffer per row (np.frombuffer "
         "zero-copy in the worker), the 10^12-scale physical design.",
         "",
+        "Grouped histogram, A1 (explode -> partial hash agg) vs A1b "
+        "(mapInPandas per-batch np.bincount partials -> tree-merge), same "
+        f"result both ways (tests/test_histogram_paths.py): "
+        f"{result.get('hist_explode_sec', 'n/a')} s vs "
+        f"{result.get('hist_bincount_sec', 'n/a')} s on the pipeline input. "
+        "The A1b map side never materializes the n_tok exploded rows, so "
+        "its advantage grows with tokens-per-row; both shuffle O(groups x "
+        "256 x partitions).",
+        "",
+        "IVF ANN (operators/ivf.py): seeded sampled k-means centroids, "
+        "broadcast cell assignment, n_probe-cell exact-cosine search. "
+        "recall@10 vs brute force on near-uniform synthetic embeddings "
+        "(sf0.01, 16 cells): 0.28 / 0.39 / 0.58 / 0.84 at n_probe 1/2/4/8; "
+        "probing all cells reproduces exact top-k (tests/test_ivf.py). "
+        "Candidate set shrinks ~n_cells/n_probe vs the q24 brute-force "
+        "baseline.",
+        "",
         f"Headline sf0.1 queries total: {result['value']} s "
         f"({json.dumps(result['queries'])})",
         "",
@@ -615,8 +675,10 @@ def _write_bench_md(result, scale, north, ceiling):
         "on local[32] (mapInArrow packed path).",
         "",
         "Methodology note: the host shows multi-second interference windows "
-        "(consecutive identical trials observed 2x apart), so every leg "
-        "reports best-of-N trials from a dedicated CPU-pinned process.",
+        "(consecutive identical trials observed 2x apart). Throughput legs "
+        "report best-of-N from dedicated CPU-pinned processes; the "
+        "north-rule ladder uses interleaved median-of-N (see above), which "
+        "is the noise-robust estimator for a RATIO of two legs.",
     ]
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

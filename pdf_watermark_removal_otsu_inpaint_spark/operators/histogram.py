@@ -30,6 +30,60 @@ def token_histogram(df: DataFrame, group_cols: list[str] | None = None,
     return ex.groupBy(*group_cols, "tok").agg(F.count("*").alias("cnt"))
 
 
+def token_histogram_bincount(df: DataFrame,
+                             group_cols: list[str] | None = None,
+                             tokens_col: str = "tokens") -> DataFrame:
+    """A1b: the at-scale flavor of token_histogram — identical result,
+    different physical shape. mapInPandas bincounts each batch's tokens at
+    memory speed (one np.bincount over group_code*256 + token_class per
+    batch: the whole batch collapses to <= groups x 256 partial rows
+    WITHOUT ever materializing n_tok exploded rows), then a final
+    groupBy(group, tok) sum tree-merges the partials. Shuffle volume is
+    O(groups x 256 x partitions), the same as the explode path's partial
+    agg, but the map side does one vectorized pass instead of emitting and
+    hash-aggregating n_tok rows per sequence — the swap SURVEY §4.3 calls
+    out for 2048-token rows at 10^12 scale."""
+    group_cols = group_cols or ["source"]
+    src = df.select(*group_cols, tokens_col)
+    out_schema = ", ".join(
+        [f"{c} {t}" for c, t in src.dtypes if c != tokens_col]
+        + ["tok int", "cnt long"])
+
+    def bincount_batches(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        from .repair_vectorized import flatten_arrays
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            flat, offsets = flatten_arrays(pdf[tokens_col])
+            g = np.asarray(flat).astype(np.uint8)  # low byte == mod 256
+            lengths = np.diff(offsets)
+            # NB: pandas' factorize hashtable treats \x00 as a C string
+            # terminator ('a\x00b' == 'a\x00c'); \x1f is a safe separator
+            keys = pdf[group_cols].astype(str).agg("\x1f".join, axis=1)
+            codes, uniq = pd.factorize(keys)
+            code_per_pos = np.repeat(codes, lengths)
+            hist = np.bincount(code_per_pos * 256 + g,
+                               minlength=len(uniq) * 256)
+            nz = np.flatnonzero(hist)
+            if nz.size == 0:
+                continue
+            # one representative row per group code (codes are 0..k-1 in
+            # first-appearance order, so first-occurrence indexes map 1:1)
+            _, first_pos = np.unique(codes, return_index=True)
+            rep = pdf.iloc[first_pos][group_cols].reset_index(drop=True)
+            out = rep.iloc[nz // 256].reset_index(drop=True)
+            out["tok"] = (nz % 256).astype("int32")
+            out["cnt"] = hist[nz].astype("int64")
+            yield out
+
+    partial = src.mapInPandas(bincount_batches, out_schema)
+    return partial.groupBy(*group_cols, "tok") \
+        .agg(F.sum("cnt").alias("cnt"))
+
+
 def windowed_histogram(df: DataFrame, window_duration: str = "1 minute",
                        slide: str | None = None,
                        group_cols: list[str] | None = None) -> DataFrame:
