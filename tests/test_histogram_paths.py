@@ -31,6 +31,24 @@ def test_bincount_path_multi_group_cols(spark):
     assert a == b and len(a) > 0
 
 
+def test_q29_dominant_token_same_via_both_histogram_paths(spark):
+    """The q29 flagship chain (A1 -> A2 -> A3) yields identical dominant
+    tokens whether the grouped histogram comes from the explode path or the
+    A1b bincount path."""
+    from pdf_watermark_removal_otsu_inpaint_spark.operators.histogram import (
+        dominant_token)
+    from pdf_watermark_removal_otsu_inpaint_spark.plans.queries import (
+        _char_tokens)
+    df = _char_tokens(spark, "/root/testdata/sf0.001")
+    a = {(r.source): (r.wm_token, round(r.coverage_pct, 9))
+         for r in dominant_token(df, ["source"]).collect()}
+    hist_b = token_histogram_bincount(df, ["source"])
+    b = {(r.source): (r.wm_token, round(r.coverage_pct, 9))
+         for r in dominant_token(hist_b, ["source"],
+                                 from_hist=True).collect()}
+    assert a == b and len(a) > 0
+
+
 def test_bincount_path_handles_empty_and_negative_tokens(spark):
     import datetime as dt
     rows = [("d0", [], 0, "web", dt.datetime(2026, 1, 1), 0),
