@@ -62,9 +62,15 @@ def train_centroids(emb: DataFrame, n_cells: int = 16, iters: int = 5,
     return cents
 
 
+def _norm(x):
+    return F.sqrt(_dot(x, x))
+
+
 def _centroids_df(spark, cents: np.ndarray):
-    rows = [(int(i), [float(v) for v in c]) for i, c in enumerate(cents)]
-    return spark.createDataFrame(rows, "cell int, ce array<double>")
+    rows = [(int(i), [float(v) for v in c], float(np.linalg.norm(c)))
+            for i, c in enumerate(cents)]
+    return spark.createDataFrame(rows,
+                                 "cell int, ce array<double>, ce_nrm double")
 
 
 def ivf_build(emb: DataFrame, n_cells: int = 16, iters: int = 5,
@@ -78,13 +84,19 @@ def ivf_build(emb: DataFrame, n_cells: int = 16, iters: int = 5,
     spark = emb.sparkSession
     cents = train_centroids(emb, n_cells, iters, sample_rows, seed)
     cdf = _centroids_df(spark, cents)
-    pairs = (emb.crossJoin(F.broadcast(cdf))
-             .select("vec_id", "embedding", "cell",
-                     _cos(F.col("embedding"), F.col("ce")).alias("sim")))
+    # each row's own norm is computed ONCE behind a projection boundary
+    # (inlined, Catalyst would re-evaluate the dot-fold per centroid pair)
+    # and kept on the assignment — at 100 TB it's stored with the index
+    normed = emb.select("vec_id", "embedding",
+                        _norm(F.col("embedding")).alias("nrm"))
+    pairs = (normed.crossJoin(F.broadcast(cdf))
+             .select("vec_id", "embedding", "nrm", "cell",
+                     (_dot(F.col("embedding"), F.col("ce"))
+                      / F.col("nrm") / F.col("ce_nrm")).alias("sim")))
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
     assign = (pairs.withColumn("rn", F.row_number().over(w))
               .where(F.col("rn") == 1)
-              .select("vec_id", "embedding", "cell"))
+              .select("vec_id", "embedding", "nrm", "cell"))
     return assign, cents
 
 
@@ -95,17 +107,20 @@ def ivf_search(assign: DataFrame, cents: np.ndarray, queries: DataFrame,
     excluded. Exact cosine runs only on cell-join candidates."""
     spark = assign.sparkSession
     cdf = _centroids_df(spark, cents)
-    qc = (queries.crossJoin(F.broadcast(cdf))
-          .select("q_id", "qe", "cell",
-                  _cos(F.col("qe"), F.col("ce")).alias("sim")))
+    qn = queries.select("q_id", "qe", _norm(F.col("qe")).alias("q_nrm"))
+    qc = (qn.crossJoin(F.broadcast(cdf))
+          .select("q_id", "qe", "q_nrm", "cell",
+                  (_dot(F.col("qe"), F.col("ce"))
+                   / F.col("q_nrm") / F.col("ce_nrm")).alias("sim")))
     wq = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cell"))
     probes = (qc.withColumn("rn", F.row_number().over(wq))
               .where(F.col("rn") <= n_probe)
-              .select("q_id", "qe", "cell"))
+              .select("q_id", "qe", "q_nrm", "cell"))
     scored = (probes.join(assign, "cell")
               .where(F.col("vec_id") != F.col("q_id"))
               .select("q_id", F.col("vec_id").alias("cand_id"),
-                      _cos(F.col("qe"), F.col("embedding")).alias("cos")))
+                      (_dot(F.col("qe"), F.col("embedding"))
+                       / F.col("q_nrm") / F.col("nrm")).alias("cos")))
     w2 = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (scored.withColumn("rnk", F.row_number().over(w2))
             .where(F.col("rnk") <= k)
@@ -117,10 +132,14 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10
                      ) -> DataFrame:
     """Exact ground truth: broadcast queries, full-scan cosine, top-k.
     O(Q x N) — the recall yardstick, never the scale path (q24's role)."""
-    scored = (emb.crossJoin(F.broadcast(queries))
+    en = emb.select("vec_id", "embedding",
+                    _norm(F.col("embedding")).alias("nrm"))
+    qn = queries.select("q_id", "qe", _norm(F.col("qe")).alias("q_nrm"))
+    scored = (en.crossJoin(F.broadcast(qn))
               .where(F.col("vec_id") != F.col("q_id"))
               .select("q_id", F.col("vec_id").alias("cand_id"),
-                      _cos(F.col("qe"), F.col("embedding")).alias("cos")))
+                      (_dot(F.col("qe"), F.col("embedding"))
+                       / F.col("q_nrm") / F.col("nrm")).alias("cos")))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k)

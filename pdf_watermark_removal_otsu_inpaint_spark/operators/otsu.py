@@ -47,14 +47,32 @@ def otsu_sql(hist: DataFrame, group_cols: list[str]) -> DataFrame:
 
 
 def make_otsu_udf():
-    """counts: array<long>[256] per row -> Otsu threshold per row.
+    """counts: array<long>[256] per row -> Otsu threshold per row,
+    vectorized ACROSS rows: one (B,256) matrix, cumulative sums along the
+    bin axis, one argmax — semantics exactly rk.otsu_threshold per row
+    (ties -> smallest t; degenerate histograms -> 255 'mask nothing').
     (Factory: pandas_udf DDL parsing needs an active session.)"""
 
     @pandas_udf("int")
     def otsu_udf(counts: pd.Series) -> pd.Series:
-        from .. import reference_kernels as rk
-        return pd.Series([rk.otsu_threshold(np.asarray(c, dtype=np.float64))
-                          for c in counts.to_numpy()])
+        arrs = counts.to_numpy()
+        B = len(arrs)
+        if B == 0:
+            return pd.Series([], dtype="int32")
+        M = np.stack([np.asarray(c, dtype=np.float64) for c in arrs])
+        total = M.sum(axis=1)
+        bins = np.arange(M.shape[1], dtype=np.float64)
+        w0 = np.cumsum(M, axis=1)
+        m0 = np.cumsum(M * bins, axis=1)
+        w1 = total[:, None] - w0
+        mu_t = m0[:, -1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            between = (mu_t[:, None] * w0 - m0) ** 2 / (w0 * w1)
+        finite = np.isfinite(between)
+        between[~finite] = -1.0
+        thr = np.argmax(between, axis=1).astype(np.int64)
+        degenerate = (total <= 0) | ~finite.any(axis=1)
+        return pd.Series(np.where(degenerate, 255, thr).astype("int32"))
 
     return otsu_udf
 

@@ -815,14 +815,21 @@ def q25(spark, sf_dir):
         lambda w: F.aggregate(
             F.split(w, ""), F.lit(0).cast("long"),
             lambda acc, c: (acc * 31 + F.ascii(c)) % 1000000007))
+    # PROJECTION BOUNDARY: materialize the word-hash array once.
+    # CollapseProject keeps the boundary (the fold is non-cheap and
+    # referenced 8x below); inlining wh_arr into each signature slot makes
+    # Catalyst evaluate the whole per-word fold 8x per row — measured 3.8x
+    # slower at sf0.1
+    hashed = d.select("doc_id", wh_arr.alias("whs"))
     a_vals = [3, 5, 7, 11, 13, 17, 19, 23]
     sig = F.array(*[
         F.struct(F.lit(i).alias("hash_i"),
                  F.array_min(F.transform(
-                     wh_arr, lambda h: (F.lit(a_vals[i]) * h + F.lit(i + 1))
+                     F.col("whs"),
+                     lambda h: (F.lit(a_vals[i]) * h + F.lit(i + 1))
                      % 1000000007)).alias("minhash"))
         for i in range(8)])
-    return (d.select("doc_id", F.explode(sig).alias("s"))
+    return (hashed.select("doc_id", F.explode(sig).alias("s"))
             .select("doc_id", F.col("s.hash_i").alias("hash_i"),
                     F.col("s.minhash").alias("minhash")))
 
