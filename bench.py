@@ -313,23 +313,36 @@ def run_north_ladder() -> dict:
             cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL, text=True, bufsize=1)
 
-    def next_json(p):
-        while True:
-            line = p.stdout.readline()
-            if not line:
-                raise RuntimeError("ladder child died")
-            if line.startswith("{"):
-                return json.loads(line)
+    def next_json(p, timeout_s=600):
+        # watchdog: a hung child must fail the ladder, not stall the run
+        import threading
+        timer = threading.Timer(timeout_s, p.kill)
+        timer.start()
+        try:
+            while True:
+                line = p.stdout.readline()
+                if not line:
+                    raise RuntimeError(
+                        "ladder child died or timed out")
+                if line.startswith("{"):
+                    return json.loads(line)
+        finally:
+            timer.cancel()
 
-    for cpus, _ in legs:            # wait for both warmups before trial 1
-        next_json(procs[cpus])
-    trials = {cpus: [] for cpus, _ in legs}
-    for _ in range(LADDER_TRIALS):  # interleave: one trial per leg per round
-        for cpus, _ in legs:
-            p = procs[cpus]
-            p.stdin.write("GO\n")
-            p.stdin.flush()
-            trials[cpus].append(next_json(p)["sec"])
+    try:
+        for cpus, _ in legs:        # wait for both warmups before trial 1
+            next_json(procs[cpus])
+        trials = {cpus: [] for cpus, _ in legs}
+        for _ in range(LADDER_TRIALS):  # interleave: one trial/leg/round
+            for cpus, _ in legs:
+                p = procs[cpus]
+                p.stdin.write("GO\n")
+                p.stdin.flush()
+                trials[cpus].append(next_json(p)["sec"])
+    except BaseException:
+        for p in procs.values():
+            p.kill()
+        raise
     out = {}
     for cpus, _ in legs:
         p = procs[cpus]
