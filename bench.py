@@ -13,7 +13,7 @@ Sections:
    taskset so the "N executors" run cannot leak onto the other cores.
    Two ladders:
    - 8 -> 32 cores on the 60k-row input (round-over-round comparability);
-   - 2 -> 8 cores on a 4x larger input (the north-rule N -> 4N evidence:
+   - 2 -> 8 cores on an 8x larger input (the north-rule N -> 4N evidence:
      long enough to amortize fixed job cost, and below the host's DRAM
      saturation knee — see the host-ceiling probe).
 4. Host-ceiling probe (Spark-free): aggregate memcpy GB/s and bare
@@ -236,7 +236,7 @@ LADDER_INPUT = os.environ.get("SPARK_GRAFT_LADDER_INPUT",
 
 
 def materialize_ladder_input(spark) -> None:
-    """4x pipeline input, packed layout only (the north-ladder workload)."""
+    """8x pipeline input, packed layout only (the north-ladder workload)."""
     from pyspark.sql import functions as F
 
     from pdf_watermark_removal_otsu_inpaint_spark.operators.repair import (
@@ -292,7 +292,7 @@ def _median(xs):
 
 
 def run_north_ladder() -> dict:
-    """N -> 4N executors (2 -> 8 pinned cores) on the 4x input: the primary
+    """N -> 4N executors (2 -> 8 pinned cores) on the 8x input: the primary
     north-rule scaling evidence. Sized below the host's DRAM saturation knee
     so it measures the JOB's scalability, not the VM's memory wall.
 
@@ -339,15 +339,20 @@ def run_north_ladder() -> dict:
                 p.stdin.write("GO\n")
                 p.stdin.flush()
                 trials[cpus].append(next_json(p)["sec"])
+        for cpus, _ in legs:
+            p = procs[cpus]
+            p.stdin.close()
+            try:
+                p.wait(timeout=120)
+            except subprocess.TimeoutExpired:
+                p.kill()       # a JVM hung in spark.stop() must not
+                p.wait()       # discard the collected trials
     except BaseException:
         for p in procs.values():
             p.kill()
         raise
     out = {}
     for cpus, _ in legs:
-        p = procs[cpus]
-        p.stdin.close()
-        p.wait(timeout=120)
         med = _median(trials[cpus])
         out[cpus] = {"sec": round(med, 3),
                      "seqs_per_sec": round(LADDER_ROWS / med, 1),

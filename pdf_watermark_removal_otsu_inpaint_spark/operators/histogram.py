@@ -55,6 +55,8 @@ def token_histogram_bincount(df: DataFrame,
 
         from .repair_vectorized import flatten_arrays
         for pdf in pdfs:
+            # the explode path silently drops NULL token arrays; match it
+            pdf = pdf[pdf[tokens_col].notna()]
             if not len(pdf):
                 continue
             flat, offsets = flatten_arrays(pdf[tokens_col])

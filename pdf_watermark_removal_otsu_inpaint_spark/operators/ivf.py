@@ -6,9 +6,10 @@ Design for scale:
 - `ivf_build` trains centroids with a seeded k-means on a bounded SAMPLE
   collected to the driver (k-means|| style: the sample is thousands of
   rows whatever the table size, so training cost is constant), then
-  assigns every vector to its nearest centroid with a broadcast
-  crossJoin + windowed argmin — one shuffle-free map over the corpus
-  plus a top-1 window per vec_id.
+  assigns every vector to its nearest centroid fully IN-ROW: the n_cells
+  similarities are folded against centroid LITERALS and argmax'd inside
+  one projection — zero Exchange, zero row inflation, a genuinely
+  shuffle-free map over the corpus.
 - `ivf_search` probes the query's `n_probe` nearest cells and scores
   exact cosine ONLY inside those cells: the candidate set shrinks by
   ~n_cells/n_probe vs brute force (q24), and the cell join is an
@@ -28,10 +29,6 @@ def _dot(x, y):
     return F.aggregate(
         F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v)
-
-
-def _cos(x, y):
-    return _dot(x, y) / F.sqrt(_dot(x, x)) / F.sqrt(_dot(y, y))
 
 
 def train_centroids(emb: DataFrame, n_cells: int = 16, iters: int = 5,
@@ -66,37 +63,41 @@ def _norm(x):
     return F.sqrt(_dot(x, x))
 
 
-def _centroids_df(spark, cents: np.ndarray):
-    rows = [(int(i), [float(v) for v in c], float(np.linalg.norm(c)))
-            for i, c in enumerate(cents)]
-    return spark.createDataFrame(rows,
-                                 "cell int, ce array<double>, ce_nrm double")
+def _lit_vec(c) -> "F.Column":
+    return F.array(*[F.lit(float(v)) for v in c])
+
+
+def _cell_sims(col, nrm_col, cents: np.ndarray):
+    """array<struct<sim,negcell>> of cosine similarity to every centroid,
+    computed against centroid LITERALS — pure in-row expressions, so cell
+    assignment and probe selection never join, inflate, or shuffle.
+    negcell makes struct-ordering ties prefer the SMALLEST cell id."""
+    norms = np.linalg.norm(cents, axis=1)
+    return F.array(*[
+        F.struct((_dot(col, _lit_vec(c)) / nrm_col
+                  / F.lit(float(max(n, 1e-12)))).alias("sim"),
+                 F.lit(-i).alias("negcell"))
+        for i, (c, n) in enumerate(zip(cents, norms))])
 
 
 def ivf_build(emb: DataFrame, n_cells: int = 16, iters: int = 5,
               sample_rows: int = 4096, seed: int = 42
               ) -> tuple[DataFrame, np.ndarray]:
-    """-> (assignment DataFrame (vec_id, embedding, cell), centroids).
+    """-> (assignment DataFrame (vec_id, embedding, nrm, cell), centroids).
 
-    The assignment plan is a broadcast crossJoin against the tiny centroid
-    dim + a per-vec top-1 window — no all-pairs shuffle; at 100 TB the
-    result is written bucketed BY cell so searches are cell-local scans."""
-    spark = emb.sparkSession
+    The assignment is ONE projection: each row's norm is computed once
+    behind a projection boundary (inlined, Catalyst would re-evaluate the
+    dot-fold per centroid), the n_cells similarities fold against centroid
+    literals, and array_max picks the cell in-row (struct ordering: max
+    sim, ties -> smallest cell). Zero Exchange, no row inflation — at
+    100 TB the result is written bucketed BY cell so searches are
+    cell-local scans, and nrm is stored with the index."""
     cents = train_centroids(emb, n_cells, iters, sample_rows, seed)
-    cdf = _centroids_df(spark, cents)
-    # each row's own norm is computed ONCE behind a projection boundary
-    # (inlined, Catalyst would re-evaluate the dot-fold per centroid pair)
-    # and kept on the assignment — at 100 TB it's stored with the index
     normed = emb.select("vec_id", "embedding",
                         _norm(F.col("embedding")).alias("nrm"))
-    pairs = (normed.crossJoin(F.broadcast(cdf))
-             .select("vec_id", "embedding", "nrm", "cell",
-                     (_dot(F.col("embedding"), F.col("ce"))
-                      / F.col("nrm") / F.col("ce_nrm")).alias("sim")))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
-    assign = (pairs.withColumn("rn", F.row_number().over(w))
-              .where(F.col("rn") == 1)
-              .select("vec_id", "embedding", "nrm", "cell"))
+    best = F.array_max(_cell_sims(F.col("embedding"), F.col("nrm"), cents))
+    assign = normed.select("vec_id", "embedding", "nrm",
+                           (-best.getField("negcell")).alias("cell"))
     return assign, cents
 
 
@@ -104,18 +105,19 @@ def ivf_search(assign: DataFrame, cents: np.ndarray, queries: DataFrame,
                k: int = 10, n_probe: int = 2) -> DataFrame:
     """queries(q_id, qe) -> top-k (q_id, cand_id, cos_sim, rnk) within the
     n_probe nearest cells of each query. Self-matches (cand_id == q_id) are
-    excluded. Exact cosine runs only on cell-join candidates."""
-    spark = assign.sparkSession
-    cdf = _centroids_df(spark, cents)
+    excluded. Exact cosine runs only on cell-join candidates. Probe-cell
+    selection is in-row (sort the n_cells similarity structs, slice
+    n_probe, explode) — the only shuffle in the whole search is the
+    bucketable equi-join on cell id."""
     qn = queries.select("q_id", "qe", _norm(F.col("qe")).alias("q_nrm"))
-    qc = (qn.crossJoin(F.broadcast(cdf))
-          .select("q_id", "qe", "q_nrm", "cell",
-                  (_dot(F.col("qe"), F.col("ce"))
-                   / F.col("q_nrm") / F.col("ce_nrm")).alias("sim")))
-    wq = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cell"))
-    probes = (qc.withColumn("rn", F.row_number().over(wq))
-              .where(F.col("rn") <= n_probe)
-              .select("q_id", "qe", "q_nrm", "cell"))
+    ranked = F.array_sort(F.transform(
+        _cell_sims(F.col("qe"), F.col("q_nrm"), cents),
+        lambda s: F.struct((-s.getField("sim")).alias("negsim"),
+                           (-s.getField("negcell")).alias("cell"))))
+    probes = (qn.select("q_id", "qe", "q_nrm",
+                        F.explode(F.slice(ranked, 1, n_probe)).alias("p"))
+              .select("q_id", "qe", "q_nrm",
+                      F.col("p.cell").alias("cell")))
     scored = (probes.join(assign, "cell")
               .where(F.col("vec_id") != F.col("q_id"))
               .select("q_id", F.col("vec_id").alias("cand_id"),

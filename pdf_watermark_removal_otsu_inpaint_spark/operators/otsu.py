@@ -38,7 +38,9 @@ def otsu_sql(hist: DataFrame, group_cols: list[str]) -> DataFrame:
               .where((F.col("w0") > 0) & (F.col("total") - F.col("w0") > 0))
               .withColumn(
                   "between",
-                  F.pow(F.col("mu_t") * F.col("w0") - F.col("m0"), F.lit(2.0))
+                  F.pow(F.col("m0").cast("double") * F.col("total")
+                        - F.col("mu_t").cast("double") * F.col("w0"),
+                        F.lit(2.0))
                   / (F.col("w0") * (F.col("total") - F.col("w0")))))
     pick = Window.partitionBy(*group_cols).orderBy(F.desc("between"), F.asc("tok"))
     return (scored.withColumn("rn", F.row_number().over(pick))
@@ -67,7 +69,8 @@ def make_otsu_udf():
         w1 = total[:, None] - w0
         mu_t = m0[:, -1]
         with np.errstate(divide="ignore", invalid="ignore"):
-            between = (mu_t[:, None] * w0 - m0) ** 2 / (w0 * w1)
+            between = (m0 * total[:, None]
+                       - mu_t[:, None] * w0) ** 2 / (w0 * w1)
         finite = np.isfinite(between)
         between[~finite] = -1.0
         thr = np.argmax(between, axis=1).astype(np.int64)

@@ -1000,7 +1000,7 @@ cum AS (
   FROM hist),
 scored AS (
   SELECT source, tok,
-         POW(mu_t * w0 - m0, 2.0) / (w0 * (total - w0)) AS between_var
+         POW(CAST(m0 AS DOUBLE) * total - CAST(mu_t AS DOUBLE) * w0, 2.0) / (w0 * (total - w0)) AS between_var
   FROM cum WHERE w0 > 0 AND total - w0 > 0)
 SELECT source, tok AS otsu_threshold FROM (
   SELECT source, tok,
@@ -1597,7 +1597,7 @@ thr AS (
   SELECT source, tok AS thr FROM (
     SELECT source, tok,
            ROW_NUMBER() OVER (PARTITION BY source ORDER BY
-             POW(mu_t * w0 - m0, 2.0) / (w0 * (total - w0)) DESC,
+             POW(CAST(m0 AS DOUBLE) * total - CAST(mu_t AS DOUBLE) * w0, 2.0) / (w0 * (total - w0)) DESC,
              tok ASC) AS rn
     FROM cum WHERE w0 > 0 AND total - w0 > 0) s
   WHERE rn = 1),

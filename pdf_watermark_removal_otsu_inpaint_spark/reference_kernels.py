@@ -413,8 +413,12 @@ def otsu_threshold(hist: np.ndarray) -> int:
     m0 = np.cumsum(h * bins)
     w1 = total - w0
     mu_t = m0[-1]
+    # sigma_b^2(t) = w0*w1*(mu0-mu1)^2 with unnormalized masses:
+    # (m0*total - mu_t*w0)^2 / (w0*w1) — note the total factor on m0;
+    # dropping it (an earlier bug) maximizes a different criterion whenever
+    # total != 1 (counts [5,3,2] split at t=1 instead of the true t=0)
     with np.errstate(divide="ignore", invalid="ignore"):
-        between = (mu_t * w0 - m0) ** 2 / (w0 * w1)
+        between = (m0 * total - mu_t * w0) ** 2 / (w0 * w1)
     finite = np.isfinite(between)
     if not finite.any():
         return 255  # single occupied bin: no threshold has two non-empty classes

@@ -70,8 +70,10 @@ class ArtifactManager:
 
     def _fetch(self, name: str, target: Path) -> Path:
         spec = self.registry[name]
-        tmp = Path(tempfile.mktemp(dir=self.cache_dir,
-                                   suffix=".tmp", prefix=name + "."))
+        fd, tmp_name = tempfile.mkstemp(dir=self.cache_dir,
+                                        suffix=".tmp", prefix=name + ".")
+        os.close(fd)                           # fetcher reopens for writing
+        tmp = Path(tmp_name)
         try:
             self.fetcher(spec.url, tmp)
             if not self._verify(tmp, spec):

@@ -203,10 +203,9 @@ def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
     (shared SparkContext, isolated SQL conf): the conf scope is real, not
     temporal, and the caller's session is never mutated.
 
-    `seq` is either a stream-factory `Callable[[SparkSession], DataFrame]`
-    (preferred: the stream is BUILT on the isolated session) or a DataFrame,
-    whose logical source (path-based file streams only) is re-read on the
-    isolated session."""
+    `seq` is a stream-factory `Callable[[SparkSession], DataFrame]` so the
+    stream is BUILT on the isolated session (a DataFrame is rejected: its
+    plan is bound to the caller's session and cannot be migrated)."""
     from pyspark.sql import SparkSession
 
     if callable(seq) and not isinstance(seq, DataFrame):

@@ -52,6 +52,7 @@ def test_q29_dominant_token_same_via_both_histogram_paths(spark):
 def test_bincount_path_handles_empty_and_negative_tokens(spark):
     import datetime as dt
     rows = [("d0", [], 0, "web", dt.datetime(2026, 1, 1), 0),
+            ("dn", None, 0, "web", dt.datetime(2026, 1, 1), 2),
             ("d1", [-1, -256, 255, 256, 300], 5, "web",
              dt.datetime(2026, 1, 1), 1)]
     df = spark.createDataFrame(

@@ -52,6 +52,14 @@ def test_recall_at_k_vs_brute_force(spark, emb, queries):
     assign.unpersist()
 
 
+def test_assignment_plan_is_shuffle_free(emb):
+    """ivf_build's cell assignment is one projection over the scan — zero
+    Exchange, no row inflation (the 100 TB 'pure map' claim, pinned)."""
+    assign, _ = ivf_build(emb, n_cells=8, seed=1)
+    plan = assign._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
 def test_every_vector_assigned_exactly_once(emb):
     assign, _ = ivf_build(emb, n_cells=8, seed=1)
     n = emb.count()
