@@ -6,7 +6,7 @@
 - ``queries()``: every implemented operator from SURVEY.md §2 as a named
   (spark, sf_dir) -> DataFrame callable.
 - ``oracle_sql()``: DuckDB-equivalent SQL for each query the driver can
-  hash (50/53, including cross-paradigm SQL re-derivations of the kernel
+  hash (47/50, including cross-paradigm SQL re-derivations of the kernel
   chains); the 3 multi-pass kernel queries (q37/q40/q47) are rows-only here
   and exact-parity-tested in tests/ against the NumPy reference kernels.
 """
