@@ -189,7 +189,8 @@ def run_repair_pipeline(seq: DataFrame, out_dir: str, checkpoint_dir: str,
 
 def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
                           params: EngineParams = DEFAULT_PARAMS,
-                          trigger_once: bool = True):
+                          trigger_once: bool = True,
+                          detect_fn=None):
     """X5+X6 composition: stateful detect stream joined back to the raw
     stream, repaired, committed exactly-once.
 
@@ -205,7 +206,12 @@ def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
 
     `seq` is a stream-factory `Callable[[SparkSession], DataFrame]` so the
     stream is BUILT on the isolated session (a DataFrame is rejected: its
-    plan is bound to the caller's session and cannot be migrated)."""
+    plan is bound to the caller's session and cannot be migrated).
+
+    `detect_fn` overrides the stateful detect stage: default is the
+    doc-keyed state.detect_stream_stateful; pass
+    state_coarse.detect_stream_stateful_coarse for the source-keyed X5c
+    variant (same output, n_sources state groups instead of n_docs)."""
     from pyspark.sql import SparkSession
 
     if callable(seq) and not isinstance(seq, DataFrame):
@@ -224,7 +230,9 @@ def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
     stream = factory(iso)
 
     from .state import detect_stream_stateful
-    masks = detect_stream_stateful(stream, params)
+    if detect_fn is None:
+        detect_fn = detect_stream_stateful
+    masks = detect_fn(stream, params)
     joined = join_masks_with_sequences(stream, masks,
                                        seq_watermark="10 minutes",
                                        mask_watermark="10 minutes")

@@ -651,3 +651,103 @@ def test_window_detect_pipeline_matches_batch(spark, tmp_path):
     wm = got[(doc_id, seq_no)][1]
     exp_t, _, _ = rk.remove_watermark(toks, wm)
     assert got[(doc_id, seq_no)][0] == exp_t.astype(np.int32).tolist()
+
+
+def _wm_fill(n, token, lo, hi):
+    a = np.full(n, 255, dtype=np.int32)
+    a[lo:hi] = token
+    return a
+
+
+def test_stateful_coarse_matches_v1(spark, tmp_path):
+    """X5c: the source-keyed coarse-state detect stream produces the SAME
+    output as the (source, doc_id)-keyed v1 — multi-source, multi-doc,
+    within-batch prefix rule, and cross-batch carry-over all exercised."""
+    import datetime as dt
+
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.state_coarse import (
+        detect_stream_stateful_coarse)
+    n = 2000
+    det_a = _wm_fill(n, 200, 100, 460)     # 18% -> self-detects 200
+    det_b = _wm_fill(n, 205, 100, 440)     # self-detects 205
+    amb_a = _wm_fill(n, 200, 100, 700)     # 30% -> per-row detect fails
+    amb_b = _wm_fill(n, 205, 100, 700)
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 10)
+
+    def r(doc, toks, src, secs, seq):
+        return (doc, toks.tolist(), n, src,
+                t0 + dt.timedelta(seconds=secs), seq)
+
+    batches = [
+        # batch 0: two sources, docA on both (coarse dicts must not collide)
+        [r("docA", det_a, "web", 0, 0), r("docB", det_b, "web", 1, 0),
+         r("docA", det_b, "pdf", 2, 0)],
+        # batch 1: carried tokens + a doc whose detection happens mid-batch
+        [r("docA", amb_a, "web", 10, 1), r("docB", amb_b, "web", 11, 1),
+         r("docA", amb_b, "pdf", 12, 1),
+         r("docC", det_a, "web", 13, 0), r("docC", amb_a, "web", 14, 1),
+         r("docC", amb_a, "web", 15, 2)],
+    ]
+    dirs = []
+    for tag in ("v1", "xc"):
+        d = str(tmp_path / f"seq_{tag}")
+        write_batches(spark, [spark.createDataFrame(b, SEQ_SCHEMA)
+                              for b in batches], d)
+        dirs.append(d)
+
+    outs = []
+    for tag, d, fn in (("v1", dirs[0], detect_stream_stateful),
+                       ("xc", dirs[1], detect_stream_stateful_coarse)):
+        q = (fn(file_stream(spark, d, max_files_per_trigger=1))
+             .writeStream.outputMode("append")
+             .format("memory").queryName(f"st_{tag}").start())
+        q.processAllAvailable()
+        q.stop()
+        outs.append({(r.source, r.doc_id, r.seq_no):
+                     (r.wm_token, r.from_state, round(r.coverage, 9), r.mask)
+                     for r in spark.sql(f"SELECT * FROM st_{tag}").collect()})
+    v1, xc = outs
+    assert len(v1) == sum(len(b) for b in batches)
+    assert v1 == xc
+    # sanity on the semantics themselves, not just mutual agreement
+    assert v1[("web", "docA", 1)][0] == 200 and v1[("web", "docA", 1)][1]
+    assert v1[("pdf", "docA", 1)][0] == 205 and v1[("pdf", "docA", 1)][1]
+    assert v1[("web", "docC", 0)][0] == 200 and not v1[("web", "docC", 0)][1]
+    assert v1[("web", "docC", 2)][0] == 200 and v1[("web", "docC", 2)][1]
+
+
+def test_stateful_coarse_state_expires_after_watermark(spark, tmp_path):
+    """X5c TTL: a doc silent past the 600 s horizon is pruned from the
+    source dict, so its next row self-detects from scratch (bounded state
+    per source at 10^12 docs)."""
+    import datetime as dt
+
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.state_coarse import (
+        detect_stream_stateful_coarse)
+    n = 2000
+    detectable = _wm_fill(n, 200, 100, 460)
+    ambiguous = _wm_fill(n, 200, 100, 700)  # not self-detectable
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 10)
+    late = dt.datetime(2026, 1, 1, 2, 0, 0)  # wm >> t0 + 600 s
+    batches = [
+        [("docA", detectable.tolist(), n, "web", t0, 0)],
+        # advance the watermark far past docA's horizon
+        [("docB", detectable.tolist(), n, "web", late, 0)],
+        [("docA", ambiguous.tolist(), n, "web",
+          late + dt.timedelta(seconds=20), 1)],
+    ]
+    d = str(tmp_path / "seq")
+    write_batches(spark, [spark.createDataFrame(b, SEQ_SCHEMA)
+                          for b in batches], d)
+    q = (detect_stream_stateful_coarse(
+            file_stream(spark, d, max_files_per_trigger=1))
+         .writeStream.outputMode("append")
+         .format("memory").queryName("st_ttl_xc").start())
+    q.processAllAvailable()
+    q.stop()
+    out = {(r.doc_id, r.seq_no): r
+           for r in spark.sql("SELECT * FROM st_ttl_xc").collect()}
+    assert out[("docA", 0)].wm_token == 200
+    # expired: re-detects from scratch -> ambiguous row finds nothing
+    assert out[("docA", 1)].wm_token is None
+    assert not out[("docA", 1)].from_state
