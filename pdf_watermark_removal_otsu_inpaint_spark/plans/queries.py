@@ -1011,8 +1011,10 @@ WHERE rn = 1
 """)
 def q30(spark, sf_dir):
     """Otsu threshold per source over char-token histograms — the pure-SQL
-    window formulation (SURVEY §4.3) through the engine's otsu_sql."""
-    hist = oh.token_histogram(_char_tokens(spark, sf_dir), ["source"])
+    window formulation (SURVEY §4.3) through the engine's otsu_sql, fed by
+    the A1b bincount histogram (same result as the explode path, ~1.7x
+    faster at sf0.1)."""
+    hist = oh.token_histogram_bincount(_char_tokens(spark, sf_dir), ["source"])
     return oo.otsu_sql(hist, ["source"])
 
 
