@@ -784,6 +784,22 @@ def q24(spark, sf_dir):
               .where(F.col("vec_id") != F.col("q_id"))
               .select("q_id", F.col("vec_id").alias("cand_id"),
                       cos.alias("cos")))
+
+    # MAP-SIDE partial top-k: within each Arrow batch keep only the 3 best
+    # candidates per query (same (cos desc, cand_id asc) order the final
+    # window uses, values untouched) — the global top-3 is a subset of the
+    # union of per-batch top-3s, so the result is identical but the window
+    # shuffles O(Q x 3 x batches) rows instead of ALL Q x N scored rows.
+    # At 100 TB this is the difference between shuffling the whole scored
+    # cross product and shuffling a few rows per partition.
+    def _partial_topk(pdfs):
+        for pdf in pdfs:
+            if len(pdf):
+                yield (pdf.sort_values(["q_id", "cos", "cand_id"],
+                                       ascending=[True, False, True])
+                       .groupby("q_id", sort=False).head(3))
+
+    scored = scored.mapInPandas(_partial_topk, scored.schema)
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= 3)
