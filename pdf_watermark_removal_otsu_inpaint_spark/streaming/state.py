@@ -66,15 +66,31 @@ def make_stateful_detect(params: EngineParams = DEFAULT_PARAMS):
 
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         source, doc_id = key
+        if getattr(state, "hasTimedOut", False):
+            # expiry invocation: DROP the doc's cached token — re-updating
+            # here would re-arm the timer forever and the state would never
+            # actually expire (unbounded at 10^12 docs)
+            state.remove()
+            return
         wm, rows_seen = (state.get if state.exists else (None, 0))
+        last_ms = 0
         for pdf in pdf_iter:
             out, wm = detect_group_batch(pdf, wm, p)
             rows_seen += len(pdf)
+            if len(pdf):
+                last_ms = max(last_ms, int(
+                    pdf["event_ts"].to_numpy()
+                    .astype("datetime64[ms]").astype("int64").max()))
             yield out
         state.update((wm, rows_seen))
-        # state for a doc expires after silence (bounded state at 10^12 docs)
-        if hasattr(state, "setTimeoutTimestamp") and state.getCurrentWatermarkMs() > 0:
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 600_000)
+        # state for a doc expires after silence (bounded state at 10^12
+        # docs). Anchor at max(watermark, last event seen) like state_v2:
+        # in the FIRST micro-batch the watermark is still 0, and a
+        # watermark-only guard would register no timer at all for docs
+        # that never appear again — permanent state leak.
+        anchor = max(state.getCurrentWatermarkMs(), last_ms)
+        if hasattr(state, "setTimeoutTimestamp") and anchor > 0:
+            state.setTimeoutTimestamp(anchor + 600_000)
 
     return fn
 

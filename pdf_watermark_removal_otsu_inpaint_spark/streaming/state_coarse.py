@@ -105,6 +105,9 @@ def make_coarse_stateful_detect(params: EngineParams = DEFAULT_PARAMS,
     p = params
 
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if getattr(state, "hasTimedOut", False):
+            state.remove()  # whole-shard expiry (silent shard)
+            return
         docs = pickle.loads(state.get[0]) if state.exists else {}
         wm_ms = state.getCurrentWatermarkMs()
         if wm_ms > 0:
@@ -113,12 +116,21 @@ def make_coarse_stateful_detect(params: EngineParams = DEFAULT_PARAMS,
             # would have cleared it between batches
             docs = {d: v for d, v in docs.items()
                     if v[1] + horizon_ms >= wm_ms}
+        last_ms = 0
         for pdf in pdf_iter:
+            if len(pdf):
+                last_ms = max(last_ms, int(
+                    pdf["event_ts"].to_numpy()
+                    .astype("datetime64[ms]").astype("int64").max()))
             out, docs = detect_source_batch(pdf, docs, p)
             yield out
         state.update((pickle.dumps(docs, protocol=4),))
-        if wm_ms > 0:
-            state.setTimeoutTimestamp(wm_ms + horizon_ms)
+        # anchor at max(watermark, last event): first-batch shards (wm
+        # still 0) must still get a timer or a never-again-seen shard's
+        # dict leaks permanently
+        anchor = max(wm_ms, last_ms)
+        if anchor > 0:
+            state.setTimeoutTimestamp(anchor + horizon_ms)
 
     return fn
 

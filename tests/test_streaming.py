@@ -751,3 +751,38 @@ def test_stateful_coarse_state_expires_after_watermark(spark, tmp_path):
     # expired: re-detects from scratch -> ambiguous row finds nothing
     assert out[("docA", 1)].wm_token is None
     assert not out[("docA", 1)].from_state
+
+
+def test_stateful_v1_state_expires_after_watermark(spark, tmp_path):
+    """X5 v1 TTL: the event-time timeout must actually DROP the state — a
+    timed-out invocation that re-updates would re-arm the timer forever.
+    A doc silent past the 600 s horizon re-detects from scratch."""
+    import datetime as dt
+    n = 2000
+    detectable = _wm_fill(n, 200, 100, 460)
+    ambiguous = _wm_fill(n, 200, 100, 700)  # not self-detectable
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 10)
+    late = dt.datetime(2026, 1, 1, 2, 0, 0)
+    batches = [
+        [("docA", detectable.tolist(), n, "web", t0, 0)],
+        # advance the watermark far past docA's horizon
+        [("docB", detectable.tolist(), n, "web", late, 0)],
+        # one more batch so docA's expired timer fires
+        [("docC", detectable.tolist(), n, "web",
+          late + dt.timedelta(seconds=10), 0)],
+        [("docA", ambiguous.tolist(), n, "web",
+          late + dt.timedelta(seconds=20), 1)],
+    ]
+    d = str(tmp_path / "seq")
+    write_batches(spark, [spark.createDataFrame(b, SEQ_SCHEMA)
+                          for b in batches], d)
+    q = (detect_stream_stateful(file_stream(spark, d, max_files_per_trigger=1))
+         .writeStream.outputMode("append")
+         .format("memory").queryName("st_ttl_v1").start())
+    q.processAllAvailable()
+    q.stop()
+    out = {(r.doc_id, r.seq_no): r
+           for r in spark.sql("SELECT * FROM st_ttl_v1").collect()}
+    assert out[("docA", 0)].wm_token == 200
+    assert out[("docA", 1)].wm_token is None
+    assert not out[("docA", 1)].from_state
