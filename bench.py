@@ -731,7 +731,8 @@ def _write_bench_md(result, scale, north, ceiling):
         f"{result.get('stateful_pipeline_seqs_per_sec', 'n/a')} seqs/s on "
         f"{result.get('stateful_pipeline_rows', 'n/a')} rows. The gap vs the "
         "fused path is the per-group Python call that the per-key stateful "
-        "API mandates (~26k tiny (source,doc_id) groups here) — which is why "
+        "API mandates (750 (source,doc_id) groups in this slice; the cost "
+        "scales with doc cardinality) — which is why "
         "SURVEY §4.3 makes the fused foreachBatch pipeline the primary "
         "design and reserves per-key state for genuinely stateful "
         "cross-batch carry-over. The coarse-keyed X5c variant "
