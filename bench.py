@@ -243,13 +243,24 @@ def stateful_detect_secs(spark, n_rows: int = 12000,
             iso.conf.set("spark.sql.streaming.statefulOperator."
                          "checkCorrectness.enabled", "false")
             st = fn(file_stream(iso, src, max_files_per_trigger=8))
+            ck = tempfile.mkdtemp(prefix="bench_stdetect_ck_")
             t0 = time.perf_counter()
             q = (st.writeStream.format("noop")
-                 .option("checkpointLocation", tempfile.mkdtemp())
+                 .option("checkpointLocation", ck)
                  .trigger(availableNow=True).start())
-            q.awaitTermination(600)
-            best[tag] = min(best[tag], time.perf_counter() - t0)
+            finished = q.awaitTermination(600)
+            secs = time.perf_counter() - t0
+            if not finished:
+                # a hung trial must not publish ~600s as a best-of and must
+                # not keep running into the next interleaved trial
+                q.stop()
+            else:
+                best[tag] = min(best[tag], secs)
+            _sh.rmtree(ck, ignore_errors=True)
     _sh.rmtree(src, ignore_errors=True)
+    if any(v == float("inf") for v in best.values()):
+        raise RuntimeError("stateful_detect_secs: every trial of a flavor "
+                           f"timed out ({best}) — refusing to publish")
     return {"stateful_detect_v1_sec": round(best["v1"], 3),
             "stateful_detect_v1_seqs_per_sec": round(n_rows / best["v1"], 1),
             "stateful_detect_coarse_sec": round(best["coarse"], 3),

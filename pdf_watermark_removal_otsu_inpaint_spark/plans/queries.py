@@ -749,7 +749,15 @@ def _make_seqfold_cos_udf():
         dot = np.cumsum(A * B, axis=1)[:, -1]
         na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
         nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
-        return pd.Series(dot / na / nb)
+        denom = na * nb
+        # zero-norm convention: cos = 0.0, NOT NaN — the Arrow boundary
+        # turns pandas NaN into SQL NULL (nan_as_null), which Spark's DESC
+        # then ranks LAST while DuckDB's NaN ranks FIRST; pinning 0.0 keeps
+        # both engines' rankings identical (and "no similarity" is the
+        # right semantics for a zero vector anyway)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = np.where(denom == 0.0, 0.0, dot / na / nb)
+        return pd.Series(cos)
 
     return seqfold_cos
 
@@ -760,9 +768,13 @@ WITH qv AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
             WHERE vec_id % 50 = 0),
 scored AS (
   SELECT q.q_id, e.vec_id AS cand_id,
-         {_DOT.format(a='q.qe', b='e.embedding')}
-         / sqrt({_DOT.format(a='q.qe', b='q.qe')})
-         / sqrt({_DOT.format(a='e.embedding', b='e.embedding')}) AS cos
+         CASE WHEN {_DOT.format(a='q.qe', b='q.qe')} = 0
+                OR {_DOT.format(a='e.embedding', b='e.embedding')} = 0
+              THEN 0.0
+         ELSE {_DOT.format(a='q.qe', b='e.embedding')}
+              / sqrt({_DOT.format(a='q.qe', b='q.qe')})
+              / sqrt({_DOT.format(a='e.embedding', b='e.embedding')})
+         END AS cos
   FROM qv q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id)
 SELECT q_id, cand_id, ROUND(cos, 6) AS cos_sim, rnk FROM (
   SELECT q_id, cand_id, cos,
@@ -795,8 +807,13 @@ def q24(spark, sf_dir):
     def _partial_topk(pdfs):
         for pdf in pdfs:
             if len(pdf):
+                # na_position="first": Spark's DESC orders NaN GREATER than
+                # any double (a zero-norm vector yields NaN cos for every
+                # pair), so NaN rows must be kept as top candidates here
+                # exactly as the final window will rank them
                 yield (pdf.sort_values(["q_id", "cos", "cand_id"],
-                                       ascending=[True, False, True])
+                                       ascending=[True, False, True],
+                                       na_position="first")
                        .groupby("q_id", sort=False).head(3))
 
     scored = scored.mapInPandas(_partial_topk, scored.schema)

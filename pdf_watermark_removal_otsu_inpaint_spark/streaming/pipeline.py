@@ -210,8 +210,9 @@ def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
 
     `detect_fn` overrides the stateful detect stage: default is the
     doc-keyed state.detect_stream_stateful; pass
-    state_coarse.detect_stream_stateful_coarse for the source-keyed X5c
-    variant (same output, n_sources state groups instead of n_docs)."""
+    state_coarse.detect_stream_stateful_coarse for the coarse-keyed X5c
+    variant (same output, n_sources * n_shards state groups instead of
+    n_docs)."""
     from pyspark.sql import SparkSession
 
     if callable(seq) and not isinstance(seq, DataFrame):

@@ -20,6 +20,22 @@ DETECT_STATE_OUTPUT = ("doc_id string, seq_no long, event_ts timestamp, "
 DETECT_STATE_SCHEMA = "wm_token int, rows_seen long"
 
 
+def assemble_detect_output(pdf: pd.DataFrame, mask_flat, offsets, wm_out,
+                           covs, froms) -> pd.DataFrame:
+    """The one DETECT_STATE_OUTPUT frame builder — shared by the fine-keyed
+    (v1) and coarse-keyed (X5c) stateful ops so a schema change cannot
+    silently diverge between them."""
+    B = len(pdf)
+    return pd.DataFrame({
+        "doc_id": pdf["doc_id"], "seq_no": pdf["seq_no"],
+        "event_ts": pdf["event_ts"], "source": pdf["source"],
+        "mask": [mask_flat[offsets[i]:offsets[i + 1]] for i in range(B)],
+        "wm_token": [None if w < 0 else int(w) for w in wm_out],
+        "coverage": covs,
+        "from_state": froms,
+    })
+
+
 def detect_group_batch(pdf: pd.DataFrame, wm: int | None,
                        p: EngineParams) -> tuple[pd.DataFrame, int | None]:
     """Shared X5 group body (v1 applyInPandasWithState AND v2
@@ -50,14 +66,7 @@ def detect_group_batch(pdf: pd.DataFrame, wm: int | None,
             froms[first + 1:] = True
             wm = int(det[first])
     mask_flat, wm_out, covs = detect_batch(flat, offsets, p, wm_in=wm_used)
-    out = pd.DataFrame({
-        "doc_id": pdf["doc_id"], "seq_no": pdf["seq_no"],
-        "event_ts": pdf["event_ts"], "source": pdf["source"],
-        "mask": [mask_flat[offsets[i]:offsets[i + 1]] for i in range(B)],
-        "wm_token": [None if w < 0 else int(w) for w in wm_out],
-        "coverage": covs,
-        "from_state": froms,
-    })
+    out = assemble_detect_output(pdf, mask_flat, offsets, wm_out, covs, froms)
     return out, wm
 
 

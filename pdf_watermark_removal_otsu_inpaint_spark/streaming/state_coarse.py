@@ -6,18 +6,20 @@ lives in a dict inside the state value.
 
 Why: applyInPandasWithState pays one Python dispatch + Arrow exchange +
 state-store round-trip PER GROUP per micro-batch. Keyed by (source, doc_id)
-that is one dispatch per document (~26k tiny groups in the bench slice —
-the measured ~500 seqs/s ceiling of the fine-keyed X5 path). Keyed by
-(source, shard) it is one dispatch per shard, and the whole shard batch
-runs through ONE vectorized detect_batch call; the per-doc prefix rule
-becomes numpy segment slicing. n_shards is the parallelism dial: enough
-shards to fill every core (default 64 > local[32]), ~100-1000x fewer
-groups than docs. Trade-offs, stated: (a) per-doc expiry is enforced
-in-function against the event-time watermark instead of per-key timers
-(same 600 s horizon as state.py/state_v2.py), so an entirely silent shard
-holds its dict until the shard-level timer fires; (b) a shard's state must
-fit in one state-store value (a dict of doc_id -> (token, last_ts) pairs —
-tens of bytes per LIVE doc within the horizon, not per doc ever seen).
+that is one dispatch per document (750 groups in the bench slice; at one
+doc per row the dispatch cost halves the detect stage's throughput, and it
+keeps growing with doc cardinality). Keyed by (source, shard) it is one
+dispatch per shard, and the whole shard batch runs through ONE vectorized
+detect_batch call; the per-doc prefix rule becomes numpy segment slicing.
+n_shards is the parallelism dial: enough shards to fill every core
+(default 64 > local[32]), ~100-1000x fewer groups than docs. Trade-offs,
+stated: (a) per-doc expiry is enforced in-function against the event-time
+watermark (same 600 s horizon and same timing as the fine-keyed timers: a
+doc present in the batch where its horizon lapses still uses its cached
+token, exactly as v1's timer — which cannot fire for a key with data —
+would allow); (b) a shard's state must fit in one state-store value (a
+dict of doc_id -> (token, last_ts) pairs — tens of bytes per LIVE doc
+within the horizon, not per doc ever seen).
 """
 
 from __future__ import annotations
@@ -29,13 +31,13 @@ import numpy as np
 import pandas as pd
 
 from ..params import DEFAULT_PARAMS, EngineParams
-from .state import DETECT_STATE_OUTPUT
+from .state import DETECT_STATE_OUTPUT, assemble_detect_output
 
 DETECT_COARSE_STATE_SCHEMA = "blob binary"
 STATE_HORIZON_MS = 600_000
 
-_OUT_COLS = ("doc_id", "seq_no", "event_ts", "source", "mask", "wm_token",
-             "coverage", "from_state")
+# column names derived from the shared schema string, not restated by hand
+_OUT_COLS = tuple(f.split()[0] for f in DETECT_STATE_OUTPUT.split(", "))
 
 
 def _empty_out() -> pd.DataFrame:
@@ -44,13 +46,15 @@ def _empty_out() -> pd.DataFrame:
 
 def detect_source_batch(pdf: pd.DataFrame, docs: dict,
                         p: EngineParams) -> tuple[pd.DataFrame, dict]:
-    """Whole-batch X5 body for ALL documents of one source.
+    """Whole-batch X5 body for ALL documents of one shard.
 
     ``docs`` maps doc_id -> (wm_token int, last_event_ms int). Semantics per
     document match state.detect_group_batch exactly: rows of a doc with
     cached state use the cached token (from_state=True); otherwise rows
-    after the doc's FIRST self-detecting row inherit its token. Returns the
-    output frame (v1 column set) and the updated dict."""
+    after the doc's FIRST self-detecting row inherit its token. Per-row
+    detection only runs over the rows of UNCACHED docs (v1 likewise skips
+    it when the group's token is cached — in carry-over steady state that
+    is most of the batch). Returns the output frame and the updated dict."""
     from ..operators.repair_vectorized import (_detect_wm_batch, detect_batch,
                                                flatten_arrays)
     B = len(pdf)
@@ -67,15 +71,31 @@ def detect_source_batch(pdf: pd.DataFrame, docs: dict,
     flat, offsets = flatten_arrays(pdf["tokens"])
     flat = np.ascontiguousarray(flat, dtype=np.int32)
     lengths = np.diff(offsets)
-    row_idx = np.repeat(np.arange(B, dtype=np.int64), lengths)
-    det = _detect_wm_batch(flat.astype(np.uint8), offsets, lengths, row_idx)
+
+    seg_cached = [docs.get(pdf["doc_id"].iat[s]) for s in starts.tolist()]
+    det = np.full(B, -1, dtype=np.int32)
+    uncached = [i for i, c in enumerate(seg_cached) if c is None]
+    if uncached:
+        row_mask = np.zeros(B, dtype=bool)
+        for i in uncached:
+            row_mask[starts[i]:ends[i]] = True
+        sub_rows = np.flatnonzero(row_mask)
+        sub_lengths = lengths[sub_rows]
+        sub_offsets = np.zeros(sub_rows.size + 1, dtype=np.int64)
+        np.cumsum(sub_lengths, out=sub_offsets[1:])
+        sub_flat = flat[np.repeat(row_mask, lengths)]
+        sub_row_idx = np.repeat(np.arange(sub_rows.size, dtype=np.int64),
+                                sub_lengths)
+        det[sub_rows] = _detect_wm_batch(sub_flat.astype(np.uint8),
+                                         sub_offsets, sub_lengths,
+                                         sub_row_idx)
 
     wm_used = det.copy()
     froms = np.zeros(B, dtype=bool)
     ts_ms = pdf["event_ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
-    for s, e in zip(starts.tolist(), ends.tolist()):
+    for (s, e), cached in zip(zip(starts.tolist(), ends.tolist()),
+                              seg_cached):
         doc = pdf["doc_id"].iat[s]
-        cached = docs.get(doc)
         if cached is not None:
             wm_used[s:e] = cached[0]
             froms[s:e] = True
@@ -89,14 +109,7 @@ def detect_source_batch(pdf: pd.DataFrame, docs: dict,
             docs[doc] = (int(det[first]), int(ts_ms[s:e].max()))
 
     mask_flat, wm_out, covs = detect_batch(flat, offsets, p, wm_in=wm_used)
-    out = pd.DataFrame({
-        "doc_id": pdf["doc_id"], "seq_no": pdf["seq_no"],
-        "event_ts": pdf["event_ts"], "source": pdf["source"],
-        "mask": [mask_flat[offsets[i]:offsets[i + 1]] for i in range(B)],
-        "wm_token": [None if w < 0 else int(w) for w in wm_out],
-        "coverage": covs,
-        "from_state": froms,
-    })
+    out = assemble_detect_output(pdf, mask_flat, offsets, wm_out, covs, froms)
     return out, docs
 
 
@@ -106,16 +119,12 @@ def make_coarse_stateful_detect(params: EngineParams = DEFAULT_PARAMS,
 
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         if getattr(state, "hasTimedOut", False):
-            state.remove()  # whole-shard expiry (silent shard)
+            # whole-shard expiry: the shard timer only fires after the
+            # shard has been silent past the horizon, at which point every
+            # doc's last event is older than the horizon too
+            state.remove()
             return
         docs = pickle.loads(state.get[0]) if state.exists else {}
-        wm_ms = state.getCurrentWatermarkMs()
-        if wm_ms > 0:
-            # per-doc expiry BEFORE processing: a doc silent past the
-            # horizon must re-detect, exactly as the fine-keyed timer
-            # would have cleared it between batches
-            docs = {d: v for d, v in docs.items()
-                    if v[1] + horizon_ms >= wm_ms}
         last_ms = 0
         for pdf in pdf_iter:
             if len(pdf):
@@ -124,6 +133,15 @@ def make_coarse_stateful_detect(params: EngineParams = DEFAULT_PARAMS,
                     .astype("datetime64[ms]").astype("int64").max()))
             out, docs = detect_source_batch(pdf, docs, p)
             yield out
+        # per-doc expiry AFTER processing, mirroring the fine-keyed timer
+        # timing: a key with data in the batch never times out in v1, so a
+        # doc present here keeps its cached token even if its horizon just
+        # lapsed (its last_ts was refreshed above); only absent-and-silent
+        # docs are dropped
+        wm_ms = state.getCurrentWatermarkMs()
+        if wm_ms > 0:
+            docs = {d: v for d, v in docs.items()
+                    if v[1] + horizon_ms >= wm_ms}
         state.update((pickle.dumps(docs, protocol=4),))
         # anchor at max(watermark, last event): first-batch shards (wm
         # still 0) must still get a timer or a never-again-seen shard's

@@ -40,12 +40,15 @@ def test_q29_dominant_token_same_via_both_histogram_paths(spark):
     from pdf_watermark_removal_otsu_inpaint_spark.plans.queries import (
         _char_tokens)
     df = _char_tokens(spark, "/root/testdata/sf0.001")
+    # dominant_token's DEFAULT path is now bincount-backed, so the explode
+    # side must be fed explicitly via from_hist (otherwise this test would
+    # compare bincount against itself)
+    hist_a = token_histogram(df, ["source"])
     a = {(r.source): (r.wm_token, round(r.coverage_pct, 9))
-         for r in dominant_token(df, ["source"]).collect()}
-    hist_b = token_histogram_bincount(df, ["source"])
-    b = {(r.source): (r.wm_token, round(r.coverage_pct, 9))
-         for r in dominant_token(hist_b, ["source"],
+         for r in dominant_token(hist_a, ["source"],
                                  from_hist=True).collect()}
+    b = {(r.source): (r.wm_token, round(r.coverage_pct, 9))
+         for r in dominant_token(df, ["source"]).collect()}
     assert a == b and len(a) > 0
 
 

@@ -87,3 +87,32 @@ def test_rows_only_query_runs(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_q24_zero_norm_vector_matches_oracle(spark, tmp_path):
+    """q24 on data CONTAINING a zero-norm vector must still hash-match the
+    oracle. Naive cos = dot/na/nb yields NaN there, and the two engines
+    rank NaN incompatibly (pandas NaN crosses the Arrow boundary as SQL
+    NULL, which Spark's DESC ranks LAST, while DuckDB's NaN ranks FIRST) —
+    both sides therefore pin the zero-norm convention cos = 0.0."""
+    import math
+
+    import duckdb
+
+    zero = [0.0, 0.0, 0.0, 0.0]
+    rows = [(i, [float(i + 1), 1.0, 0.0, 0.0] if i != 7 else zero, i % 3)
+            for i in range(10)]
+    (spark.createDataFrame(rows, "vec_id long, embedding array<float>, "
+                                 "label int")
+     .coalesce(2).write.mode("overwrite")
+     .parquet(str(tmp_path / "embeddings.parquet")))
+    sdf = QUERIES["q24_cosine_topk"](spark, str(tmp_path))
+    srows = sorted(tuple(r) for r in sdf.collect())
+    assert all(not math.isnan(r[2]) for r in srows), "NaN leaked into cos"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{tmp_path}/embeddings.parquet/*.parquet'")
+    orows = sorted(tuple(r) for r in
+                   con.execute(ORACLES["q24_cosine_topk"]).fetchall())
+    con.close()
+    assert srows == orows

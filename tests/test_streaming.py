@@ -733,6 +733,10 @@ def test_stateful_coarse_state_expires_after_watermark(spark, tmp_path):
         [("docA", detectable.tolist(), n, "web", t0, 0)],
         # advance the watermark far past docA's horizon
         [("docB", detectable.tolist(), n, "web", late, 0)],
+        # spacer so docA's expiry materializes while docA is absent (the
+        # same timing v1's timer needs: a key with data never times out)
+        [("docC", detectable.tolist(), n, "web",
+          late + dt.timedelta(seconds=10), 0)],
         [("docA", ambiguous.tolist(), n, "web",
           late + dt.timedelta(seconds=20), 1)],
     ]
