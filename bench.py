@@ -1,6 +1,14 @@
 #!/usr/bin/env python
-"""Per-round benchmark. Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""Per-round benchmark. Prints ONE **compact** JSON line as the very last
+stdout line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+ "scaling_efficiency_north": ..., ...key throughputs...}
+
+The driver captures a bounded tail of stdout — round 3's full-ledger final
+line outgrew that window and arrived truncated (BENCH_r03.json parsed:null),
+so the final line is now a size-bounded summary and the FULL ledger (trial
+arrays, host-ceiling probe, scaling detail) is written to BENCH_FULL.json
+and rendered into BENCH.md instead of stdout.
 
 Sections:
 1. Headline relational/token queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
@@ -268,12 +276,80 @@ def stateful_detect_secs(spark, n_rows: int = 12000,
                 round(n_rows / best["coarse"], 1)}
 
 
-def run_headline(spark) -> dict[str, float]:
+def stateful_chain_compare_secs(spark, n_rows: int = 12000,
+                                trials: int = 2) -> dict:
+    """FULL X5+X6 chain (stateful detect -> stream-stream join -> repair ->
+    exactly-once sink), fine-keyed v1 vs coarse-keyed X5c, at ONE DOC PER
+    ROW (doc_id rewritten unique) — the 10^12-docs-per-day cardinality where
+    per-doc group dispatch dominates the detect stage. All rows land in one
+    micro-batch (>=5k doc-groups/batch). Interleaved best-of-N; a hung
+    trial is excluded, never published."""
+    import shutil as _sh
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.pipeline import (
+        file_stream, run_stateful_pipeline)
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.state import (
+        detect_stream_stateful)
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.state_coarse import (
+        detect_stream_stateful_coarse)
+    src = tempfile.mkdtemp(prefix="bench_chaincmp_src_")
+    (spark.read.parquet(f"{BENCH_INPUT}/list").limit(n_rows)
+     .withColumn("doc_id", F.concat_ws("-", "doc_id",
+                                       F.col("seq_no").cast("string")))
+     .coalesce(8).write.mode("overwrite").parquet(src))
+    best = {"fine": float("inf"), "coarse": float("inf")}
+    rows_out = {}
+    for _ in range(trials):
+        for tag, fn in (("fine", detect_stream_stateful),
+                        ("coarse", detect_stream_stateful_coarse)):
+            out = tempfile.mkdtemp(prefix="bench_chaincmp_out_")
+            ck = tempfile.mkdtemp(prefix="bench_chaincmp_ck_")
+            t0 = time.perf_counter()
+            q = run_stateful_pipeline(
+                lambda s: file_stream(s, src, max_files_per_trigger=8),
+                f"{out}/o", ck, detect_fn=fn)
+            finished = q.awaitTermination(600)
+            secs = time.perf_counter() - t0
+            if not finished:
+                q.stop()
+            else:
+                if secs < best[tag]:
+                    best[tag] = secs
+                    rows_out[tag] = spark.read.parquet(
+                        f"{out}/o/data").count()
+            _sh.rmtree(out, ignore_errors=True)
+            _sh.rmtree(ck, ignore_errors=True)
+    _sh.rmtree(src, ignore_errors=True)
+    if any(v == float("inf") for v in best.values()):
+        raise RuntimeError("stateful_chain_compare_secs: every trial of a "
+                           f"flavor timed out ({best})")
+    assert rows_out["fine"] == rows_out["coarse"] == n_rows, rows_out
+    return {"chain_docrow_rows": n_rows,
+            "chain_docrow_fine_sec": round(best["fine"], 3),
+            "chain_docrow_fine_seqs_per_sec": round(n_rows / best["fine"], 1),
+            "chain_docrow_coarse_sec": round(best["coarse"], 3),
+            "chain_docrow_coarse_seqs_per_sec":
+                round(n_rows / best["coarse"], 1)}
+
+
+HEADLINE_ROUNDS = int(os.environ.get("SPARK_GRAFT_HEADLINE_ROUNDS", "3"))
+
+
+def run_headline(spark) -> tuple[dict[str, float], dict[str, float]]:
+    """Interleaved median-of-N headline legs (same protocol as the north
+    ladder, brought to the per-query numbers): one uncounted warmup pass per
+    query (JVM codegen + Python worker pool + shuffle machinery), then
+    HEADLINE_ROUNDS counted rounds visiting every query per round
+    (A/B/.../L interleave), median + relative spread per query. A host
+    interference window (this VM shows multi-second windows where identical
+    trials run 2x slower) lands on one ROUND — i.e. on every query a
+    little — instead of on whole single-shot legs, so round-over-round
+    drift like r03's q03 0.82->1.36 s cannot masquerade as a plan
+    regression. Returns (medians, spreads)."""
     from pdf_watermark_removal_otsu_inpaint_spark.plans.queries import QUERIES
-    # warm the JVM (scan codegen, shuffle machinery) AND the Python worker
-    # pool (several headline queries use Arrow UDFs) so q01/q24 don't absorb
-    # cold-start; warmup cost is reported nowhere
-    _noop(QUERIES["q03_revenue_by_nation"](spark, SF_DIR))
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
@@ -281,12 +357,19 @@ def run_headline(spark) -> dict[str, float]:
         return x
 
     _noop(spark.range(10000).repartition(CPUS).select(_warm("id")))
-    times = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        _noop(QUERIES[name](spark, SF_DIR))
-        times[name] = round(time.perf_counter() - t0, 3)
-    return times
+    plans = {name: QUERIES[name](spark, SF_DIR) for name in HEADLINE}
+    for name in HEADLINE:        # uncounted warmup pass, every query
+        _noop(plans[name])
+    trials: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(HEADLINE_ROUNDS):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            _noop(plans[name])
+            trials[name].append(time.perf_counter() - t0)
+    medians = {n: round(_median(ts), 3) for n, ts in trials.items()}
+    spreads = {n: round((max(ts) - min(ts)) / _median(ts), 3)
+               for n, ts in trials.items()}
+    return medians, spreads
 
 
 LADDER_ROWS = int(os.environ.get("SPARK_GRAFT_LADDER_ROWS", "480000"))
@@ -571,8 +654,12 @@ def main():
               "unit": "sec", "sf": 0.1 if "sf0.1" in SF_DIR else SF_DIR}
 
     spark = get_spark("bench", cpus=CPUS, extra_conf=TOKEN_CONF)
-    queries = run_headline(spark)
+    queries, query_spreads = run_headline(spark)
     result["queries"] = queries
+    result["query_spreads"] = query_spreads
+    result["headline_protocol"] = (
+        f"interleaved rounds, median of {HEADLINE_ROUNDS} per query, "
+        "1 warmup pass")
     result["value"] = round(sum(queries.values()), 3)
 
     materialize_input(spark, PIPELINE_ROWS)
@@ -596,6 +683,7 @@ def main():
         result["stateful_pipeline_rows"] = st_rows
         result["stateful_pipeline_seqs_per_sec"] = round(st_rows / st_sec, 1)
         result.update(stateful_detect_secs(spark))
+        result.update(stateful_chain_compare_secs(spark))
     spark.stop()
 
     if not FAST:
@@ -609,7 +697,37 @@ def main():
         result["host_ceiling"] = ceiling
         _write_bench_md(result, scaling, north, ceiling)
 
-    print(json.dumps(result))
+    # Full ledger -> file (committed artifact); stdout gets ONLY the compact
+    # summary, sized to survive the driver's bounded tail capture.
+    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    compact = {k: result[k] for k in ("metric", "unit", "sf", "value",
+                                      "queries")}
+    for k in ("scaling_efficiency_north",
+              "pipeline_packed_seqs_per_sec",
+              "pipeline_arrow_packed_seqs_per_sec",
+              "pipeline_tokens_per_sec",
+              "exactly_once_seqs_per_sec",
+              "stateful_pipeline_seqs_per_sec",
+              "stateful_detect_v1_seqs_per_sec",
+              "stateful_detect_coarse_seqs_per_sec",
+              "chain_docrow_fine_seqs_per_sec",
+              "chain_docrow_coarse_seqs_per_sec",
+              "hist_explode_sec", "hist_bincount_sec"):
+        if k in result:
+            compact[k] = result[k]
+    if "scaling_n_to_4n" in result:
+        n = result["scaling_n_to_4n"]
+        compact["north_spreads"] = [n[2]["spread"], n[8]["spread"]]
+        compact["north_seqs_per_sec"] = [n[2]["seqs_per_sec"],
+                                         n[8]["seqs_per_sec"]]
+    if "scaling" in result:
+        compact["efficiency_8_to_32"] = result["scaling"][
+            "efficiency_8_to_32"]
+    compact["full_ledger"] = "BENCH_FULL.json"
+    line = json.dumps(compact)
+    assert len(line) < 1800, f"compact bench line too big: {len(line)}B"
+    print(line)
 
 
 def _write_bench_md(result, scale, north, ceiling):
@@ -729,8 +847,10 @@ def _write_bench_md(result, scale, north, ceiling):
         "Candidate set shrinks ~n_cells/n_probe vs the q24 brute-force "
         "baseline.",
         "",
-        f"Headline sf0.1 queries total: {result['value']} s "
-        f"({json.dumps(result['queries'])})",
+        f"Headline sf0.1 queries total: {result['value']} s — "
+        f"{result.get('headline_protocol', 'single-shot')}. Medians: "
+        f"{json.dumps(result['queries'])}; per-query relative spreads: "
+        f"{json.dumps(result.get('query_spreads', {}))}",
         "",
         f"Exactly-once streaming flavor (foreachBatch -> idempotent sink "
         f"with lineage + commit markers, checkpointed): "
@@ -756,7 +876,18 @@ def _write_bench_md(result, scale, north, ceiling):
         "fine-keyed vs "
         f"{result.get('stateful_detect_coarse_seqs_per_sec', 'n/a')} seqs/s "
         "coarse-keyed on the same drop; the full chain is join+sink-bound "
-        "and the gap grows with docs-per-batch (within 10% at 750 docs).",
+        "and the gap grows with docs-per-batch (within 10% at 750 docs). "
+        "X5c is now run_stateful_pipeline's DEFAULT detect stage (v1 stays "
+        "as the parity reference).",
+        "",
+        "Full chain at ONE DOC PER ROW "
+        f"({result.get('chain_docrow_rows', 'n/a')} doc-groups in a single "
+        "micro-batch — the 10^12-docs cardinality): fine-keyed "
+        f"{result.get('chain_docrow_fine_seqs_per_sec', 'n/a')} seqs/s vs "
+        "coarse-keyed "
+        f"{result.get('chain_docrow_coarse_seqs_per_sec', 'n/a')} seqs/s "
+        "end-to-end (detect -> stream-stream join -> repair -> exactly-once "
+        "sink), interleaved best-of-N.",
         "",
         "Reference single-thread baseline (BASELINE.md): ~0.7-2.2 M "
         "pixel-ops/s, i.e. ~350-1000 sequences/s at 2048 tokens. Engine "

@@ -208,11 +208,18 @@ def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
     stream is BUILT on the isolated session (a DataFrame is rejected: its
     plan is bound to the caller's session and cannot be migrated).
 
-    `detect_fn` overrides the stateful detect stage: default is the
-    doc-keyed state.detect_stream_stateful; pass
-    state_coarse.detect_stream_stateful_coarse for the coarse-keyed X5c
-    variant (same output, n_sources * n_shards state groups instead of
-    n_docs)."""
+    `detect_fn` overrides the stateful detect stage: the DEFAULT is the
+    coarse-keyed state_coarse.detect_stream_stateful_coarse (X5c:
+    n_sources * n_shards state groups per micro-batch instead of n_docs —
+    the scalable keying at high doc cardinality, 2.2x the fine-keyed
+    detect stage at one doc per row); pass state.detect_stream_stateful
+    for the doc-keyed v1 (kept as the parity reference — the two are
+    output-equality-tested in tests/test_streaming.py).
+
+    NOTE (round-3 API break, recorded): `seq` used to accept a DataFrame;
+    it now REQUIRES a stream factory so the query can run on the isolated
+    session. External callers following the old docstring must wrap their
+    stream construction in a lambda."""
     from pyspark.sql import SparkSession
 
     if callable(seq) and not isinstance(seq, DataFrame):
@@ -230,9 +237,9 @@ def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
     iso.conf.set(key, "false")
     stream = factory(iso)
 
-    from .state import detect_stream_stateful
     if detect_fn is None:
-        detect_fn = detect_stream_stateful
+        from .state_coarse import detect_stream_stateful_coarse
+        detect_fn = detect_stream_stateful_coarse
     masks = detect_fn(stream, params)
     joined = join_masks_with_sequences(stream, masks,
                                        seq_watermark="10 minutes",

@@ -14,7 +14,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql.streaming.stateful_processor import (StatefulProcessor,
                                                       StatefulProcessorHandle)
-from pyspark.sql.types import IntegerType, StructField, StructType
+from pyspark.sql.types import (BinaryType, IntegerType, StructField,
+                               StructType)
 
 from ..params import DEFAULT_PARAMS, EngineParams
 
@@ -74,19 +75,102 @@ class DetectProcessor(StatefulProcessor):
         pass
 
 
-def detect_stream_stateful_v2(seq, params: EngineParams = DEFAULT_PARAMS,
-                              watermark: str = "10 minutes"):
-    """sequences stream -> stateful detect_masks stream via the v2 state API.
-    The session must use the RocksDB state store provider."""
+class CoarseDetectProcessor(StatefulProcessor):
+    """X5c on the v2 API: state keyed by (source, hash(doc_id) % n_shards)
+    with the per-doc carry-over dict pickled into ONE binary ValueState and
+    one event-time timer per SHARD — the same shard-dict design as
+    state_coarse.make_coarse_stateful_detect (whole-shard vectorized
+    detection, ~n_docs/(n_sources*n_shards) fewer Python dispatches), on
+    the forward-path API. Semantics per doc are identical to the legacy
+    implementation (output-equality-tested in tests/test_streaming.py):
+    per-doc expiry against the watermark happens in-function AFTER
+    processing, and the shard timer only clears a shard silent past the
+    horizon — by which time every doc in its dict has lapsed too."""
+
+    def __init__(self, params: EngineParams = DEFAULT_PARAMS,
+                 horizon_ms: int = STATE_TTL_MS):
+        self.p = params
+        self.horizon_ms = horizon_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
+        self.blob = handle.getValueState(
+            "docs", StructType([StructField("blob", BinaryType(), True)]))
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame],
+                        timerValues) -> Iterator[pd.DataFrame]:
+        import pickle
+
+        from .state_coarse import detect_source_batch
+        docs: dict = {}
+        if self.blob.exists():
+            got = self.blob.get()
+            if got is not None and got[0] is not None:
+                docs = pickle.loads(bytes(got[0]))
+        last_ms = 0
+        for pdf in rows:
+            if len(pdf):
+                last_ms = max(
+                    last_ms,
+                    int(pdf["event_ts"].max().value // 1_000_000))
+            out, docs = detect_source_batch(pdf, docs, self.p)
+            yield out
+        wm_ms = timerValues.getCurrentWatermarkInMs()
+        if wm_ms > 0:   # per-doc expiry, same timing as the legacy op
+            docs = {d: v for d, v in docs.items()
+                    if v[1] + self.horizon_ms >= wm_ms}
+        self.blob.update((pickle.dumps(docs, protocol=4),))
+        anchor = max(wm_ms, last_ms)
+        if anchor > 0:
+            for old in self.handle.listTimers():
+                self.handle.deleteTimer(old)
+            self.handle.registerTimer(anchor + self.horizon_ms)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        self.blob.clear()
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def _rocksdb(seq):
     spark = seq.sparkSession
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider")
+
+
+def detect_stream_stateful_v2(seq, params: EngineParams = DEFAULT_PARAMS,
+                              watermark: str = "10 minutes"):
+    """sequences stream -> stateful detect_masks stream via the v2 state API.
+    The session must use the RocksDB state store provider."""
+    _rocksdb(seq)
     return (seq.withWatermark("event_ts", watermark)
             .groupBy("source", "doc_id")
             .transformWithStateInPandas(
                 DetectProcessor(params),
+                outputStructType=OUTPUT_SCHEMA,
+                outputMode="append",
+                timeMode="eventTime"))
+
+
+def detect_stream_stateful_coarse_v2(seq,
+                                     params: EngineParams = DEFAULT_PARAMS,
+                                     watermark: str = "10 minutes",
+                                     n_shards: int = 64):
+    """X5c on the v2 state API: coarse-keyed stateful detect stream (see
+    CoarseDetectProcessor). Output-equivalent to both the legacy coarse op
+    and the fine-keyed v1/v2 ops."""
+    from pyspark.sql import functions as F
+    _rocksdb(seq)
+    return (seq.withWatermark("event_ts", watermark)
+            .withColumn("_shard", F.pmod(F.xxhash64("doc_id"),
+                                         F.lit(n_shards)))
+            .groupBy("source", "_shard")
+            .transformWithStateInPandas(
+                CoarseDetectProcessor(params),
                 outputStructType=OUTPUT_SCHEMA,
                 outputMode="append",
                 timeMode="eventTime"))

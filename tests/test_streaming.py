@@ -716,6 +716,60 @@ def test_stateful_coarse_matches_v1(spark, tmp_path):
     assert v1[("web", "docC", 2)][0] == 200 and v1[("web", "docC", 2)][1]
 
 
+def test_stateful_coarse_v2_matches_coarse_v1(spark, tmp_path):
+    """X5c on the v2 state API (CoarseDetectProcessor: shard-dict in a
+    binary ValueState + per-shard timer) == the legacy
+    applyInPandasWithState coarse op, on the same multi-source multi-doc
+    carry-over scenario as the v1-vs-coarse parity test."""
+    import datetime as dt
+
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.state_coarse import (
+        detect_stream_stateful_coarse)
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.state_v2 import (
+        detect_stream_stateful_coarse_v2)
+    if not _tws_available(spark, tmp_path):
+        pytest.skip("transformWithStateInPandas driver worker crashes in "
+                    "this image (XXKST on a minimal example)")
+    n = 2000
+    det_a = _wm_fill(n, 200, 100, 460)
+    det_b = _wm_fill(n, 205, 100, 440)
+    amb_a = _wm_fill(n, 200, 100, 700)
+    amb_b = _wm_fill(n, 205, 100, 700)
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 10)
+
+    def r(doc, toks, src, secs, seq):
+        return (doc, toks.tolist(), n, src,
+                t0 + dt.timedelta(seconds=secs), seq)
+
+    batches = [
+        [r("docA", det_a, "web", 0, 0), r("docB", det_b, "web", 1, 0),
+         r("docA", det_b, "pdf", 2, 0)],
+        [r("docA", amb_a, "web", 10, 1), r("docB", amb_b, "web", 11, 1),
+         r("docA", amb_b, "pdf", 12, 1),
+         r("docC", det_a, "web", 13, 0), r("docC", amb_a, "web", 14, 1),
+         r("docC", amb_a, "web", 15, 2)],
+    ]
+    outs = []
+    for tag, fn in (("xc1", detect_stream_stateful_coarse),
+                    ("xc2", detect_stream_stateful_coarse_v2)):
+        d = str(tmp_path / f"seq_{tag}")
+        write_batches(spark, [spark.createDataFrame(b, SEQ_SCHEMA)
+                              for b in batches], d)
+        q = (fn(file_stream(spark, d, max_files_per_trigger=1))
+             .writeStream.outputMode("append")
+             .format("memory").queryName(f"st_{tag}").start())
+        q.processAllAvailable()
+        q.stop()
+        outs.append({(r.source, r.doc_id, r.seq_no):
+                     (r.wm_token, r.from_state, round(r.coverage, 9),
+                      list(r.mask))
+                     for r in spark.sql(f"SELECT * FROM st_{tag}").collect()})
+    xc1, xc2 = outs
+    assert len(xc1) == sum(len(b) for b in batches)
+    assert xc1 == xc2
+    assert xc2[("web", "docA", 1)][0] == 200 and xc2[("web", "docA", 1)][1]
+
+
 def test_stateful_coarse_state_expires_after_watermark(spark, tmp_path):
     """X5c TTL: a doc silent past the 600 s horizon is pruned from the
     source dict, so its next row self-detects from scratch (bounded state
