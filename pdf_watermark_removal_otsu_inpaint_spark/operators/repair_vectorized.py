@@ -736,6 +736,13 @@ def repair_text_arrow(df, params: EngineParams = DEFAULT_PARAMS):
                     [int((out[offsets[i]:offsets[i + 1]]
                           != flat[offsets[i]:offsets[i + 1]]).sum())
                      for i in range(len(txt))], dtype=np.int64)
+            # value-level evidence of the inpaint fills: per-row sum of the
+            # FINAL repaired tokens (exact int64 — order-independent), the
+            # quantity q40's unrolled 2-pass DuckDB oracle re-derives
+            c = np.empty(out.size + 1, dtype=np.int64)
+            c[0] = 0
+            np.cumsum(out, dtype=np.int64, out=c[1:])
+            token_sum = c[offsets[1:]] - c[offsets[:-1]]
             wm_arr = pa.array(np.where(wm < 0, None, wm).tolist(),
                               type=pa.int32())
             yield pa.RecordBatch.from_arrays(
@@ -744,13 +751,15 @@ def repair_text_arrow(df, params: EngineParams = DEFAULT_PARAMS):
                  _as_plain(b.column(b.schema.get_field_index("source")),
                            pa.string()),
                  pa.array(np.diff(offsets), type=pa.int64()),
-                 pa.array(np.round(cov, 6), type=pa.float64()),
+                 pa.array(cov, type=pa.float64()),
                  wm_arr,
                  pa.array(npass, type=pa.int32()),
-                 pa.array(changed, type=pa.int64())],
+                 pa.array(changed, type=pa.int64()),
+                 pa.array(token_sum, type=pa.int64())],
                 ["doc_id", "source", "n_out", "coverage", "wm_token",
-                 "pass_count", "changed_tokens"])
+                 "pass_count", "changed_tokens", "token_sum"])
 
     return df.mapInArrow(
         fn, "doc_id long, source string, n_out long, coverage double, "
-            "wm_token int, pass_count int, changed_tokens long")
+            "wm_token int, pass_count int, changed_tokens long, "
+            "token_sum long")

@@ -1052,16 +1052,240 @@ def q30(spark, sf_dir):
 
 
 # ===========================================================================
-# Rows-only queries (kernel UDFs / mapInPandas — not SQL-expressible; the
-# driver records a weaker rows-only check, pytest covers exact parity)
+# Kernel-UDF queries. Most carry cross-paradigm SQL oracles (q40/q41/q42/
+# q48/q49/q50: detection, morphology and the multi-pass inpaint re-derived
+# relationally in DuckDB); the remaining rows-only entries (q37/q47 — the
+# profiled/status compositions) are exact-parity-tested in pytest instead.
 # ===========================================================================
 
-@q("q40_repair_char_tokens")
+@q("q40_repair_char_tokens", """
+WITH pos AS (
+  SELECT doc_id, source, CAST(t.i - 1 AS BIGINT) AS p,
+         ascii(substring(text, CAST(t.i AS INT), 1)) AS g,
+         CAST(length(text) AS BIGINT) AS n
+  FROM documents, UNNEST(generate_series(1, length(text))) AS t(i)),
+hist AS (SELECT doc_id, g AS tok, MAX(n) AS n, COUNT(*) AS cnt
+         FROM pos GROUP BY doc_id, g),
+ranked AS (  -- top-10 modes, ties toward higher token (engine spec)
+  SELECT doc_id, tok, cnt, n,
+         cnt * 100.0 / n AS coverage_pct,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, tok DESC) AS rnk
+  FROM hist),
+wm AS (  -- first qualifying mode (value 100..250, coverage 1..20%)
+  SELECT doc_id, tok AS wm_token FROM (
+    SELECT doc_id, tok, rnk,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY rnk) AS pick
+    FROM ranked
+    WHERE rnk <= 10 AND tok BETWEEN 100 AND 250
+      AND coverage_pct BETWEEN 1 AND 20) s
+  WHERE pick = 1),
+-- ============================ PASS 1 =====================================
+raw1 AS (  -- |g - wm| < 30, background-protected; ASCII wm is text-like
+  SELECT p.doc_id, p.p, p.n FROM pos p JOIN wm ON wm.doc_id = p.doc_id
+  WHERE ABS(p.g - wm.wm_token) < 30 AND p.g <= 250),
+p1m1_sp AS (
+  SELECT doc_id, MAX(n) AS n, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM raw1) x GROUP BY doc_id, isl),
+p1m1_e AS (  -- open x1: erode k=3 (border-aware) ...
+  SELECT doc_id, n,
+         CASE WHEN s=0 THEN 0 ELSE s+1 END AS s,
+         CASE WHEN e=n THEN n ELSE e-1 END AS e
+  FROM p1m1_sp
+  WHERE (CASE WHEN s=0 THEN 0 ELSE s+1 END)
+      < (CASE WHEN e=n THEN n ELSE e-1 END)),
+p1m1 AS (  -- ... then dilate k=3
+  SELECT DISTINCT doc_id, n,
+         UNNEST(generate_series(GREATEST(s-1,0), LEAST(e+1,n)-1)) AS p
+  FROM p1m1_e),
+p1m2_sp AS (
+  SELECT doc_id, MAX(n) AS n, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM p1m1) x GROUP BY doc_id, isl),
+p1m2_d AS (  -- close x2: dilate by 2 ...
+  SELECT DISTINCT doc_id, n,
+         UNNEST(generate_series(GREATEST(s-2,0), LEAST(e+2,n)-1)) AS p
+  FROM p1m2_sp),
+p1m3_sp AS (
+  SELECT doc_id, MAX(n) AS n, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM p1m2_d) x GROUP BY doc_id, isl),
+p1m3_e AS (  -- ... then erode by 2 (border-aware)
+  SELECT doc_id, n,
+         CASE WHEN s=0 THEN 0 ELSE s+2 END AS s,
+         CASE WHEN e=n THEN n ELSE e-2 END AS e
+  FROM p1m3_sp
+  WHERE (CASE WHEN s=0 THEN 0 ELSE s+2 END)
+      < (CASE WHEN e=n THEN n ELSE e-2 END)),
+p1m3 AS (SELECT DISTINCT doc_id, n,
+                UNNEST(generate_series(s, e-1)) AS p FROM p1m3_e),
+p1runs AS (
+  SELECT doc_id, MAX(n) AS n, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM p1m3) x GROUP BY doc_id, isl),
+kept1 AS (  -- R1 run filter, pass-1 final mask spans
+  SELECT doc_id, n, s, e FROM p1runs WHERE (e - s) BETWEEN 5 AND 5000),
+cov1 AS (
+  SELECT doc_id, MAX(n) AS n, SUM(e - s) AS masked
+  FROM kept1 GROUP BY doc_id),
+rad1 AS (  -- dynamic radius: max(2, floor(2 + cov*10*strength))
+  SELECT doc_id,
+         GREATEST(2, CAST(FLOOR(2 + (CAST(masked AS DOUBLE)/n)*10*1.0)
+                          AS BIGINT)) AS radius
+  FROM cov1),
+fills1 AS (
+  SELECT k.doc_id, u.p,
+    (SELECT g FROM pos WHERE pos.doc_id = k.doc_id AND pos.p = k.s - 1) AS L,
+    (SELECT g FROM pos WHERE pos.doc_id = k.doc_id AND pos.p = k.e) AS R,
+    k.s, k.e, r.radius
+  FROM kept1 k
+  JOIN rad1 r ON r.doc_id = k.doc_id
+  CROSS JOIN UNNEST(generate_series(k.s, k.e - 1)) AS u(p)),
+vals1 AS (  -- distance-weighted interp within radius, plateau outside
+  SELECT doc_id, p,
+    CASE
+      WHEN L IS NULL AND R IS NULL THEN NULL
+      WHEN L IS NULL THEN R
+      WHEN R IS NULL THEN L
+      WHEN LEAST(p - (s - 1), e - p) <= radius
+        THEN (L * (e - p) + R * (p - (s - 1))) // ((p - (s - 1)) + (e - p))
+      WHEN (p - (s - 1)) < (e - p) THEN L
+      WHEN (e - p) < (p - (s - 1)) THEN R
+      ELSE (L + R) // 2
+    END AS fill
+  FROM fills1),
+rep1 AS (  -- token stream state after pass 1
+  SELECT pos.doc_id, pos.p, pos.n, COALESCE(v.fill, pos.g) AS val
+  FROM pos LEFT JOIN vals1 v ON v.doc_id = pos.doc_id AND v.p = pos.p),
+-- ============================ PASS 2 =====================================
+raw2 AS (  -- re-detect on the repaired stream, same cached wm per doc;
+           -- only docs whose pass-1 mask was non-empty stay active
+  SELECT r.doc_id, r.p, r.n FROM rep1 r
+  JOIN wm ON wm.doc_id = r.doc_id
+  JOIN cov1 a ON a.doc_id = r.doc_id
+  WHERE ABS(r.val - wm.wm_token) < 30 AND r.val <= 250),
+p2m1_sp AS (
+  SELECT doc_id, MAX(n) AS n, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM raw2) x GROUP BY doc_id, isl),
+p2m1_e AS (
+  SELECT doc_id, n,
+         CASE WHEN s=0 THEN 0 ELSE s+1 END AS s,
+         CASE WHEN e=n THEN n ELSE e-1 END AS e
+  FROM p2m1_sp
+  WHERE (CASE WHEN s=0 THEN 0 ELSE s+1 END)
+      < (CASE WHEN e=n THEN n ELSE e-1 END)),
+p2m1 AS (
+  SELECT DISTINCT doc_id, n,
+         UNNEST(generate_series(GREATEST(s-1,0), LEAST(e+1,n)-1)) AS p
+  FROM p2m1_e),
+p2m2_sp AS (
+  SELECT doc_id, MAX(n) AS n, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM p2m1) x GROUP BY doc_id, isl),
+p2m2_d AS (
+  SELECT DISTINCT doc_id, n,
+         UNNEST(generate_series(GREATEST(s-2,0), LEAST(e+2,n)-1)) AS p
+  FROM p2m2_sp),
+p2m3_sp AS (
+  SELECT doc_id, MAX(n) AS n, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM p2m2_d) x GROUP BY doc_id, isl),
+p2m3_e AS (
+  SELECT doc_id, n,
+         CASE WHEN s=0 THEN 0 ELSE s+2 END AS s,
+         CASE WHEN e=n THEN n ELSE e-2 END AS e
+  FROM p2m3_sp
+  WHERE (CASE WHEN s=0 THEN 0 ELSE s+2 END)
+      < (CASE WHEN e=n THEN n ELSE e-2 END)),
+p2m3 AS (SELECT DISTINCT doc_id, n,
+                UNNEST(generate_series(s, e-1)) AS p FROM p2m3_e),
+p2runs AS (
+  SELECT doc_id, MAX(n) AS n, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM p2m3) x GROUP BY doc_id, isl),
+kept2 AS (
+  SELECT doc_id, n, s, e FROM p2runs WHERE (e - s) BETWEEN 5 AND 5000),
+dil2 AS (  -- multi-pass k=3 dilate between passes (wm_remover spec)
+  SELECT DISTINCT doc_id, n,
+         UNNEST(generate_series(GREATEST(s-1,0), LEAST(e+1,n)-1)) AS p
+  FROM kept2),
+spans2 AS (  -- merged dilated spans, pass-2 inpaint input
+  SELECT doc_id, MAX(n) AS n, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM dil2) x GROUP BY doc_id, isl),
+cov2 AS (
+  SELECT doc_id, MAX(n) AS n, SUM(e - s) AS masked
+  FROM spans2 GROUP BY doc_id),
+rad2 AS (
+  SELECT doc_id,
+         GREATEST(2, CAST(FLOOR(2 + (CAST(masked AS DOUBLE)/n)*10*1.0)
+                          AS BIGINT)) AS radius
+  FROM cov2),
+fills2 AS (  -- boundaries read from the PASS-1 repaired stream
+  SELECT k.doc_id, u.p,
+    (SELECT val FROM rep1 WHERE rep1.doc_id = k.doc_id
+                            AND rep1.p = k.s - 1) AS L,
+    (SELECT val FROM rep1 WHERE rep1.doc_id = k.doc_id
+                            AND rep1.p = k.e) AS R,
+    k.s, k.e, r.radius
+  FROM spans2 k
+  JOIN rad2 r ON r.doc_id = k.doc_id
+  CROSS JOIN UNNEST(generate_series(k.s, k.e - 1)) AS u(p)),
+vals2 AS (
+  SELECT doc_id, p,
+    CASE
+      WHEN L IS NULL AND R IS NULL THEN NULL
+      WHEN L IS NULL THEN R
+      WHEN R IS NULL THEN L
+      WHEN LEAST(p - (s - 1), e - p) <= radius
+        THEN (L * (e - p) + R * (p - (s - 1))) // ((p - (s - 1)) + (e - p))
+      WHEN (p - (s - 1)) < (e - p) THEN L
+      WHEN (e - p) < (p - (s - 1)) THEN R
+      ELSE (L + R) // 2
+    END AS fill
+  FROM fills2),
+final AS (
+  SELECT r.doc_id, r.p, COALESCE(v.fill, r.val) AS val
+  FROM rep1 r LEFT JOIN vals2 v ON v.doc_id = r.doc_id AND v.p = r.p),
+sums AS (
+  SELECT doc_id, CAST(SUM(val) AS BIGINT) AS token_sum
+  FROM final GROUP BY doc_id),
+act2 AS (SELECT DISTINCT doc_id FROM kept2)
+SELECT d.doc_id, d.source, CAST(length(d.text) AS BIGINT) AS n_out,
+       ROUND(COALESCE(CAST(c.masked AS DOUBLE) / c.n, 0.0), 6) AS coverage,
+       CAST(wm.wm_token AS INT) AS wm_token,
+       CAST((CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END)
+          + (CASE WHEN a2.doc_id IS NULL THEN 0 ELSE 1 END) AS INT)
+         AS pass_count,
+       s.token_sum
+FROM documents d
+LEFT JOIN wm ON wm.doc_id = d.doc_id
+LEFT JOIN cov1 c ON c.doc_id = d.doc_id
+LEFT JOIN act2 a2 ON a2.doc_id = d.doc_id
+JOIN sums s ON s.doc_id = d.doc_id
+""")
 def q40(spark, sf_dir):
-    """Full fused tokenize+detect+repair pipeline (K1+K2 multi-pass) over
+    """Full fused tokenize+detect+repair pipeline (K1+K2 MULTI-PASS) over
     documents.text via the batch-vectorized mapInArrow kernel (the UTF-8
-    string buffer is read as the char-token array zero-copy); exact parity
-    vs the split+ascii+pandas path and reference_kernels is covered by
+    string buffer is read as the char-token array zero-copy). The DuckDB
+    oracle UNROLLS both kernel passes in pure SQL: pass 1 = q41's detection
+    CTEs + q49's distance-weighted integer fills; pass 2 = re-detection
+    over the repaired stream with the cached wm token, the k=3 inter-pass
+    dilate (watermark_remover.py:249), and a second fill whose boundaries
+    read from the pass-1 output. `token_sum` (per-doc sum of the FINAL
+    repaired tokens) is the value-level check of the multi-pass inpaint;
+    exact per-token parity vs reference_kernels remains covered by
     tests/test_repair_vectorized.py."""
     from ..operators.repair_vectorized import repair_text_arrow
     from ..params import DEFAULT_PARAMS
@@ -1069,7 +1293,7 @@ def q40(spark, sf_dir):
     out = repair_text_arrow(docs, DEFAULT_PARAMS.with_(passes=2, min_run=5))
     return out.select("doc_id", "source", "n_out",
                       F.round("coverage", 6).alias("coverage"), "wm_token",
-                      "pass_count")
+                      "pass_count", "token_sum")
 
 
 @q("q41_detect_char_masks", """
