@@ -17,8 +17,38 @@ partial clusters.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def lsh_candidate_pairs(sig: DataFrame, min_matches: int = 4,
+                        max_bucket: int = 64) -> DataFrame:
+    """MinHash-LSH candidate pairs with a HOT-BUCKET CEILING.
+
+    sig(doc_id, i, mh) -> (a_id, b_id, matches >= min_matches). The
+    self-equi-join on (i, mh) is quadratic PER BUCKET, so one degenerate
+    bucket (many docs sharing a signature component — boilerplate corpora
+    do this) can explode the join. Standard LSH practice caps the bucket:
+    buckets wider than `max_bucket` are dropped BEFORE the join (they
+    carry no discriminative signal — a component shared by thousands of
+    docs doesn't identify near-duplicates). The cap bounds join output at
+    #buckets * max_bucket^2 BY CONSTRUCTION; a corpus of n identical docs
+    yields 0 pairs from this path instead of n^2 (and is exactly what
+    exact-dedup (q20) catches first). The bucket-width window partitions
+    by (i, mh) — the same keys the join shuffles on, so the guard rides
+    the join's own Exchange."""
+    wide = F.count("*").over(Window.partitionBy("i", "mh"))
+    kept = sig.withColumn("_bw", wide).where(F.col("_bw") <= max_bucket) \
+              .drop("_bw")
+    s1 = kept.alias("s1")
+    s2 = kept.alias("s2")
+    return (s1.join(s2, (F.col("s1.i") == F.col("s2.i"))
+                    & (F.col("s1.mh") == F.col("s2.mh"))
+                    & (F.col("s1.doc_id") < F.col("s2.doc_id")))
+            .groupBy(F.col("s1.doc_id").alias("a_id"),
+                     F.col("s2.doc_id").alias("b_id"))
+            .agg(F.count("*").alias("matches"))
+            .where(F.col("matches") >= min_matches))
 
 
 def connected_components(vertices: DataFrame, edges: DataFrame,

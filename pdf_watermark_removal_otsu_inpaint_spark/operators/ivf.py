@@ -31,21 +31,45 @@ def _dot(x, y):
         F.lit(0.0), lambda acc, v: acc + v)
 
 
+_HASH_BUCKETS = 1 << 20
+
+
 def train_centroids(emb: DataFrame, n_cells: int = 16, iters: int = 5,
                     sample_rows: int = 4096, seed: int = 42) -> np.ndarray:
     """Seeded k-means on a bounded deterministic sample (spherical: vectors
     are L2-normalized so nearest-centroid-by-dot == nearest-by-cosine).
 
-    The sample is `sample_rows` rows ordered by a hash of vec_id — stable
-    across runs and partitionings; at 100 TB this is the same constant-cost
-    driver-side training that IVF indexes use in practice (train on a
-    sample, assign everything)."""
-    sample = (emb.select("vec_id", "embedding")
-              .orderBy(F.xxhash64(F.col("vec_id").cast("string"),
-                                  F.lit(seed)))
+    Sampling is a deterministic HASH-THRESHOLD filter, not a global
+    TakeOrdered: `pmod(xxhash64(vec_id, seed), 2^20) < t` admits an
+    expected 4x oversample of `sample_rows` (exact rows chosen by a heap
+    over only that small subset), so the full table is touched by nothing
+    heavier than a predicate — at 10^12 rows the old
+    orderBy(hash).limit(n) heap-sifted every row. Deterministic across
+    runs and partitionings (hash of vec_id, vec_id tiebreak); at 100 TB
+    this is the same constant-cost driver-side training that IVF indexes
+    use in practice (train on a sample, assign everything)."""
+    total = emb.count()   # parquet/Iceberg count: footer metadata, no scan
+    if total == 0:
+        raise ValueError("train_centroids: embedding table is empty")
+    h = F.pmod(F.xxhash64(F.col("vec_id").cast("string"), F.lit(seed)),
+               F.lit(_HASH_BUCKETS))
+    if total > 2 * sample_rows:
+        thresh = int(np.ceil(_HASH_BUCKETS
+                             * min(1.0, 4.0 * sample_rows / total)))
+        cand = emb.select("vec_id", "embedding").where(h < F.lit(thresh))
+    else:
+        cand = emb.select("vec_id", "embedding")
+    sample = (cand.orderBy(F.xxhash64(F.col("vec_id").cast("string"),
+                                      F.lit(seed)), F.col("vec_id"))
               .limit(sample_rows).collect())
     X = np.array([r.embedding for r in sample], dtype=np.float64)
+    if X.shape[0] == 0:
+        raise ValueError(
+            f"train_centroids: hash-threshold sample is empty "
+            f"(table rows={total})")
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    if n_cells > X.shape[0]:   # tiny table: can't seed more cells than rows
+        n_cells = X.shape[0]
     rng = np.random.default_rng(seed)
     cents = X[rng.choice(X.shape[0], size=n_cells, replace=False)]
     for _ in range(iters):
@@ -71,13 +95,22 @@ def _cell_sims(col, nrm_col, cents: np.ndarray):
     """array<struct<sim,negcell>> of cosine similarity to every centroid,
     computed against centroid LITERALS — pure in-row expressions, so cell
     assignment and probe selection never join, inflate, or shuffle.
-    negcell makes struct-ordering ties prefer the SMALLEST cell id."""
+    negcell makes struct-ordering ties prefer the SMALLEST cell id.
+    Zero-norm vectors get sim 0.0 (the engine-wide convention, q24/q31) —
+    a NaN would sort ABOVE every real sim under DESC and hijack top-k."""
     norms = np.linalg.norm(cents, axis=1)
     return F.array(*[
-        F.struct((_dot(col, _lit_vec(c)) / nrm_col
-                  / F.lit(float(max(n, 1e-12)))).alias("sim"),
+        F.struct(F.when(nrm_col == 0, F.lit(0.0))
+                 .otherwise(_dot(col, _lit_vec(c)) / nrm_col
+                            / F.lit(float(max(n, 1e-12)))).alias("sim"),
                  F.lit(-i).alias("negcell"))
         for i, (c, n) in enumerate(zip(cents, norms))])
+
+
+def _safe_cos(x, y, x_nrm, y_nrm):
+    """Exact cosine with the zero-norm pin: 0.0 when either norm is 0."""
+    return F.when((x_nrm == 0) | (y_nrm == 0), F.lit(0.0)) \
+            .otherwise(_dot(x, y) / x_nrm / y_nrm)
 
 
 def ivf_build(emb: DataFrame, n_cells: int = 16, iters: int = 5,
@@ -121,8 +154,8 @@ def ivf_search(assign: DataFrame, cents: np.ndarray, queries: DataFrame,
     scored = (probes.join(assign, "cell")
               .where(F.col("vec_id") != F.col("q_id"))
               .select("q_id", F.col("vec_id").alias("cand_id"),
-                      (_dot(F.col("qe"), F.col("embedding"))
-                       / F.col("q_nrm") / F.col("nrm")).alias("cos")))
+                      _safe_cos(F.col("qe"), F.col("embedding"),
+                                F.col("q_nrm"), F.col("nrm")).alias("cos")))
     w2 = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (scored.withColumn("rnk", F.row_number().over(w2))
             .where(F.col("rnk") <= k)
@@ -140,8 +173,8 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10
     scored = (en.crossJoin(F.broadcast(qn))
               .where(F.col("vec_id") != F.col("q_id"))
               .select("q_id", F.col("vec_id").alias("cand_id"),
-                      (_dot(F.col("qe"), F.col("embedding"))
-                       / F.col("q_nrm") / F.col("nrm")).alias("cos")))
+                      _safe_cos(F.col("qe"), F.col("embedding"),
+                                F.col("q_nrm"), F.col("nrm")).alias("cos")))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k)

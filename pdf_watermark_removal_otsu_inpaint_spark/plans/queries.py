@@ -807,13 +807,14 @@ def q24(spark, sf_dir):
     def _partial_topk(pdfs):
         for pdf in pdfs:
             if len(pdf):
-                # na_position="first": Spark's DESC orders NaN GREATER than
-                # any double (a zero-norm vector yields NaN cos for every
-                # pair), so NaN rows must be kept as top candidates here
-                # exactly as the final window will rank them
+                # na_position="last": the UDF's pandas NaN crosses Arrow as
+                # SQL NULL, and Spark's DESC ranks NULL LAST — so a null
+                # cos (which the 0.0 zero-norm pin should prevent anyway)
+                # must sort to the bottom here exactly as the final window
+                # will rank it, never displacing real top-3 candidates
                 yield (pdf.sort_values(["q_id", "cos", "cand_id"],
                                        ascending=[True, False, True],
-                                       na_position="first")
+                                       na_position="last")
                        .groupby("q_id", sort=False).head(3))
 
     scored = scored.mapInPandas(_partial_topk, scored.schema)
@@ -876,27 +877,27 @@ params AS (SELECT i, [3,5,7,11,13,17,19,23][i+1] AS a, i + 1 AS b
            FROM range(8) t(i)),
 sig AS (
   SELECT h.doc_id, p.i, MIN((p.a * h.wh + p.b) % 1000000007) AS mh
-  FROM hashed h CROSS JOIN params p GROUP BY h.doc_id, p.i)
+  FROM hashed h CROSS JOIN params p GROUP BY h.doc_id, p.i),
+sigk AS (  -- LSH hot-bucket ceiling: components shared by > 64 docs carry
+           -- no near-dup signal and would make the self-join quadratic
+  SELECT doc_id, i, mh FROM (
+    SELECT doc_id, i, mh, COUNT(*) OVER (PARTITION BY i, mh) AS bw
+    FROM sig) s WHERE bw <= 64)
 SELECT s1.doc_id AS a_id, s2.doc_id AS b_id, COUNT(*) AS matches
-FROM sig s1 JOIN sig s2 ON s1.i = s2.i AND s1.mh = s2.mh
-                        AND s1.doc_id < s2.doc_id
+FROM sigk s1 JOIN sigk s2 ON s1.i = s2.i AND s1.mh = s2.mh
+                          AND s1.doc_id < s2.doc_id
 GROUP BY s1.doc_id, s2.doc_id
 HAVING COUNT(*) >= 4
 """)
 def q26(spark, sf_dir):
     """MinHash-LSH candidate pairs: signature band join, >=4/8 matching
-    components (estimated Jaccard >= 0.5)."""
+    components (estimated Jaccard >= 0.5), with the standard LSH
+    hot-bucket ceiling (operators/dedup.lsh_candidate_pairs): a degenerate
+    bucket cannot make the self-join quadratic by construction."""
+    from ..operators.dedup import lsh_candidate_pairs
     sig = QUERIES["q25_minhash_signatures"](spark, sf_dir) \
         .withColumnRenamed("hash_i", "i").withColumnRenamed("minhash", "mh")
-    s1 = sig.alias("s1")
-    s2 = sig.alias("s2")
-    return (s1.join(s2, (F.col("s1.i") == F.col("s2.i"))
-                    & (F.col("s1.mh") == F.col("s2.mh"))
-                    & (F.col("s1.doc_id") < F.col("s2.doc_id")))
-            .groupBy(F.col("s1.doc_id").alias("a_id"),
-                     F.col("s2.doc_id").alias("b_id"))
-            .agg(F.count("*").alias("matches"))
-            .where(F.col("matches") >= 4))
+    return lsh_candidate_pairs(sig, min_matches=4, max_bucket=64)
 
 
 @q("q27_simhash", f"""
@@ -2269,10 +2270,14 @@ params AS (SELECT i, [3,5,7,11,13,17,19,23][i+1] AS a, i + 1 AS b
 sig AS (
   SELECT h.doc_id, p.i, MIN((p.a * h.wh + p.b) % 1000000007) AS mh
   FROM hashed h CROSS JOIN params p GROUP BY h.doc_id, p.i),
+sigk AS (  -- q26's LSH hot-bucket ceiling, kept in sync
+  SELECT doc_id, i, mh FROM (
+    SELECT doc_id, i, mh, COUNT(*) OVER (PARTITION BY i, mh) AS bw
+    FROM sig) s WHERE bw <= 64),
 pairs AS (
   SELECT s1.doc_id AS a_id, s2.doc_id AS b_id
-  FROM sig s1 JOIN sig s2 ON s1.i = s2.i AND s1.mh = s2.mh
-                          AND s1.doc_id < s2.doc_id
+  FROM sigk s1 JOIN sigk s2 ON s1.i = s2.i AND s1.mh = s2.mh
+                            AND s1.doc_id < s2.doc_id
   GROUP BY 1, 2 HAVING COUNT(*) >= 4),
 edges AS (SELECT a_id AS u, b_id AS v FROM pairs
           UNION ALL SELECT b_id, a_id FROM pairs),

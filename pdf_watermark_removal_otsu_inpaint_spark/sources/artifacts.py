@@ -59,6 +59,14 @@ class ArtifactManager:
         p = Path(name)
         if p.is_absolute() and p.exists():     # custom artifact passthrough
             return p
+        # registry names are plain filenames: a separator or '..' would
+        # resolve cache lookups outside cache_dir and break mkstemp's prefix
+        if (os.sep in name or (os.altsep and os.altsep in name)
+                or ".." in name):
+            raise ValueError(
+                f"Invalid artifact name {name!r}: path separators and '..' "
+                "are not allowed (absolute paths to existing files are the "
+                "passthrough form)")
         cached = self.cache_dir / name
         if cached.exists():                    # cache hit short-circuits
             return cached

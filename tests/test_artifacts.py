@@ -69,3 +69,16 @@ def test_distribute_reaches_executors(spark, tmp_path):
     got = (spark.range(8).repartition(4)
            .mapInPandas(read_len, "id long, n int").collect())
     assert {r.n for r in got} == {128}
+
+
+def test_path_traversal_names_rejected(tmp_path):
+    """Registry/artifact names with separators or '..' must be rejected
+    before any path is built (cache-hit lookup would otherwise resolve
+    outside the cache dir)."""
+    from pdf_watermark_removal_otsu_inpaint_spark.sources.artifacts import (
+        ArtifactManager)
+    mgr = ArtifactManager(registry={}, cache_dir=tmp_path)
+    import pytest
+    for bad in ("../evil", "a/b", "x/../y"):
+        with pytest.raises(ValueError, match="Invalid artifact name"):
+            mgr.get_path(bad)

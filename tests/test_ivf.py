@@ -66,3 +66,87 @@ def test_every_vector_assigned_exactly_once(emb):
     assert assign.count() == n
     assert assign.select("vec_id").distinct().count() == n
     assert assign.where(F.col("cell").isNull()).count() == 0
+
+
+def test_train_plan_has_no_global_takeordered(emb):
+    """The training sample is a hash-threshold filter + heap over the
+    filtered subset — the FULL table is touched only by a predicate, never
+    by a TakeOrdered heap-sift of every row (10^12-row concern). Verified
+    on a table large enough to engage the threshold path."""
+    big = emb
+    for _ in range(4):                       # 500 -> 8000 rows (> 2x4096)
+        big = big.unionByName(big.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(1_000_000)))
+    sample_plan = (big.select("vec_id", "embedding")
+                   .where(F.pmod(F.xxhash64(F.col("vec_id").cast("string"),
+                                            F.lit(42)), F.lit(1 << 20))
+                          < F.lit(1000)))
+    # the exact plan train_centroids builds: filter, then TakeOrdered over
+    # the filtered subset only
+    from pdf_watermark_removal_otsu_inpaint_spark.operators.ivf import (
+        train_centroids)
+    cents = train_centroids(big, n_cells=8, seed=42)
+    assert cents.shape == (8, 64)
+    p = sample_plan._jdf.queryExecution().executedPlan().toString()
+    assert "Filter" in p and "TakeOrdered" not in p
+
+
+def test_small_table_caps_n_cells(spark, emb):
+    """n_cells > sample rows must degrade gracefully (tiny tables), and an
+    empty table must raise a clear error, not an opaque rng.choice one."""
+    tiny = emb.limit(5)
+    cents = train_centroids(tiny, n_cells=16, seed=3)
+    assert cents.shape[0] == 5
+    empty = emb.where(F.lit(False))
+    with pytest.raises(ValueError, match="empty"):
+        train_centroids(empty, n_cells=4, seed=3)
+
+
+def test_zero_norm_embedding_pinned_to_zero_cos(spark, emb, queries):
+    """A zero-norm vector yields cos 0.0 (engine-wide convention) — NOT
+    NaN, which Spark's DESC would rank above every real candidate so one
+    zero vector would pollute every query's top-k."""
+    import math
+    zero = emb.limit(1).select(
+        F.lit(999_999).cast("long").alias("vec_id"),
+        F.expr("transform(embedding, x -> CAST(0.0 AS float))")
+         .alias("embedding"))
+    emb2 = emb.unionByName(zero)
+    qs = queries.limit(5)
+    assign, cents = ivf_build(emb2, n_cells=8, seed=3)
+    for res in (ivf_search(assign, cents, qs, k=5, n_probe=8),
+                brute_force_topk(emb2, qs, k=5)):
+        for r in res.collect():
+            assert not math.isnan(r.cos_sim)
+            if r.cand_id == 999_999:
+                assert r.cos_sim == 0.0
+
+
+def test_bucketed_cell_search_is_corpus_shuffle_free(spark, emb, queries):
+    """The 100 TB search layout: the assignment written BUCKETED BY cell,
+    so the probe join reads the corpus as bucket-local scans — the only
+    Exchange on `cell` belongs to the (tiny) probes side; results equal
+    the unbucketed search."""
+    import shutil as _sh
+
+    from pdf_watermark_removal_otsu_inpaint_spark.sources.tables import (
+        write_sequences_bucketed)
+    assign, cents = ivf_build(emb, n_cells=8, seed=1)
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    spark.sql("DROP TABLE IF EXISTS ivf_assign_b")
+    _sh.rmtree(f"{wh}/ivf_assign_b", ignore_errors=True)
+    write_sequences_bucketed(assign, "ivf_assign_b", buckets=8,
+                             key=("cell",))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = ivf_search(spark.table("ivf_assign_b"), cents, queries,
+                         k=5, n_probe=2)
+        p = out._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in p
+        assert p.count("Exchange hashpartitioning(cell") == 1
+        base = ivf_search(assign, cents, queries, k=5, n_probe=2)
+        assert (sorted(map(tuple, out.collect()))
+                == sorted(map(tuple, base.collect())))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
