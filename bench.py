@@ -697,10 +697,11 @@ def main():
         result["host_ceiling"] = ceiling
         _write_bench_md(result, scaling, north, ceiling)
 
-    # Full ledger -> file (committed artifact); stdout gets ONLY the compact
-    # summary, sized to survive the driver's bounded tail capture.
-    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
-        json.dump(result, f, indent=1, sort_keys=True)
+    # stdout gets ONLY the compact summary, sized to survive the driver's
+    # bounded tail capture; the full ledger goes to a file AFTERWARD so a
+    # ledger-write failure can never cost the driver line. NB: no
+    # sort_keys — the scaling dicts key by int core counts alongside str
+    # metric names, and sorted() across those raises.
     compact = {k: result[k] for k in ("metric", "unit", "sf", "value",
                                       "queries")}
     for k in ("scaling_efficiency_north",
@@ -727,7 +728,9 @@ def main():
     compact["full_ledger"] = "BENCH_FULL.json"
     line = json.dumps(compact)
     assert len(line) < 1800, f"compact bench line too big: {len(line)}B"
-    print(line)
+    print(line, flush=True)
+    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+        json.dump(result, f, indent=1)
 
 
 def _write_bench_md(result, scale, north, ceiling):

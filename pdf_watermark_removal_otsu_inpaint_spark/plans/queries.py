@@ -1825,7 +1825,16 @@ def q36(spark, sf_dir):
 @q("q37_profiled_repair")
 def q37(spark, sf_dir):
     """J2 + A10-A14 end-to-end (rows-only): per-source classified parameters
-    broadcast onto the rows, kernel runs with per-row params."""
+    broadcast onto the rows, kernel runs with per-row params.
+
+    Deliberately the ONE remaining rows-only entry: the scanned/mixed
+    profiles blend at inpaint_strength 1.3/1.1 (< BLEND_FULL_STRENGTH), and
+    the kernel's blend is float32 step-rounded arithmetic
+    (watermark_remover.py:168-176) — DuckDB evaluates FLOAT expressions in
+    double, so a faithful SQL oracle would risk off-by-one false mismatches
+    at integer truncation boundaries. Exact per-token parity is covered by
+    tests/test_engine_parity.py instead; every other kernel query
+    (q40/q41/q42/q47/q48/q49/q50) is driver-hashed."""
     from ..operators.repair import repair_with_profiles
     from ..params import DEFAULT_PARAMS
     df = _char_tokens(spark, sf_dir).withColumn("seq_no", F.lit(0).cast("long"))
@@ -2031,10 +2040,29 @@ def q46(spark, sf_dir):
                     "rnk"))
 
 
-@q("q47_repair_status_summary")
+def _q47_oracle() -> str:
+    """q47's oracle reuses q40's full unrolled 2-pass SQL as a CTE and
+    aggregates the reference's per-page status rule over it — built lazily
+    so registration order inside this module can't matter."""
+    return f"""
+WITH q40 AS ({ORACLES['q40_repair_char_tokens']})
+SELECT source,
+       CASE WHEN pass_count = 0 THEN 'skipped'
+            WHEN pass_count < 2 THEN 'success'
+            ELSE 'partial' END AS status,
+       COUNT(*) AS n,
+       ROUND(AVG(coverage), 6) AS avg_coverage
+FROM q40
+GROUP BY 1, 2
+"""
+
+
+@q("q47_repair_status_summary", _q47_oracle())
 def q47(spark, sf_dir):
     """A6: per-status accounting of the repair pipeline (reference per-page
-    success/partial/skipped records, stats.py:59-65, :205-245)."""
+    success/partial/skipped records, stats.py:59-65, :205-245). Oracled
+    since round 4: the status CASE + groupBy aggregates over q40's unrolled
+    2-pass oracle, so the whole composition is driver-hashed."""
     from ..functions.mask_exprs import repair_status
     out = QUERIES["q40_repair_char_tokens"](spark, sf_dir)
     status = repair_status(F.col("coverage"), F.col("pass_count"), F.lit(2))
