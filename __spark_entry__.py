@@ -6,9 +6,11 @@
 - ``queries()``: every implemented operator from SURVEY.md §2 as a named
   (spark, sf_dir) -> DataFrame callable.
 - ``oracle_sql()``: DuckDB-equivalent SQL for each query the driver can
-  hash (47/50, including cross-paradigm SQL re-derivations of the kernel
-  chains); the 3 multi-pass kernel queries (q37/q40/q47) are rows-only here
-  and exact-parity-tested in tests/ against the NumPy reference kernels.
+  hash (49/50, including cross-paradigm SQL re-derivations of the kernel
+  chains — q40 unrolls the full 2-pass repair, q47 aggregates over it);
+  q37 is the one rows-only entry (float32 step-rounded blend, not safely
+  SQL-expressible) and is exact-parity-tested in tests/ against the NumPy
+  reference kernels.
 """
 
 from __future__ import annotations
