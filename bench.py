@@ -303,8 +303,11 @@ def stateful_chain_compare_secs(spark, n_rows: int = 12000,
     best = {"fine": float("inf"), "coarse": float("inf")}
     rows_out = {}
     for _ in range(trials):
-        for tag, fn in (("fine", detect_stream_stateful),
-                        ("coarse", detect_stream_stateful_coarse)):
+        for tag, fn in (
+                ("fine", detect_stream_stateful),   # v1: unpacked masks
+                # the DEFAULT path: coarse keying + bit-packed masks
+                ("coarse", lambda s, p: detect_stream_stateful_coarse(
+                    s, p, packed=True))):
             out = tempfile.mkdtemp(prefix="bench_chaincmp_out_")
             ck = tempfile.mkdtemp(prefix="bench_chaincmp_ck_")
             t0 = time.perf_counter()

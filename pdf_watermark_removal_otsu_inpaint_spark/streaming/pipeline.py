@@ -212,9 +212,13 @@ def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
     coarse-keyed state_coarse.detect_stream_stateful_coarse (X5c:
     n_sources * n_shards state groups per micro-batch instead of n_docs —
     the scalable keying at high doc cardinality, 2.2x the fine-keyed
-    detect stage at one doc per row); pass state.detect_stream_stateful
-    for the doc-keyed v1 (kept as the parity reference — the two are
-    output-equality-tested in tests/test_streaming.py).
+    detect stage at one doc per row) emitting BIT-PACKED masks (the X6
+    wire format: ~8x fewer mask bytes through the join shuffle AND the
+    join's state store; repair_joined dispatches on the column name, and
+    packed-vs-unpacked chain output equality is pinned by the resume
+    test). Pass state.detect_stream_stateful for the doc-keyed unpacked
+    v1 (kept as the parity reference — the two are output-equality-tested
+    in tests/test_streaming.py).
 
     NOTE (round-3 API break, recorded): `seq` used to accept a DataFrame;
     it now REQUIRES a stream factory so the query can run on the isolated
@@ -239,7 +243,9 @@ def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
 
     if detect_fn is None:
         from .state_coarse import detect_stream_stateful_coarse
-        detect_fn = detect_stream_stateful_coarse
+
+        def detect_fn(s, p):
+            return detect_stream_stateful_coarse(s, p, packed=True)
     masks = detect_fn(stream, params)
     joined = join_masks_with_sequences(stream, masks,
                                        seq_watermark="10 minutes",

@@ -49,31 +49,35 @@ class ExactlyOnceParquetSink:
         metrics_path = f"{self.out_dir}/metrics/batch_id={batch_id}"
 
         # in-batch dedup on the sink key (a replayed source row within the
-        # same batch must not double-write)
-        deduped = batch_df.dropDuplicates(self.key_cols).cache()
-        try:
-            deduped.write.mode("overwrite").parquet(data_path)
+        # same batch must not double-write), then ONE pass: the batch plan
+        # executes exactly once, for the data write. Lineage is derived
+        # from the WRITTEN files — a column-pruned scan of the tiny metric
+        # columns (parquet reads only coverage/n_tok, never the token
+        # arrays), so the audit trail describes the bytes that actually
+        # landed and the big batch is never cached or recomputed (the
+        # previous cache() of token-array batches was the sink's dominant
+        # cost: materializing ~100 MB of array blocks per micro-batch).
+        deduped = batch_df.dropDuplicates(self.key_cols)
+        deduped.write.mode("overwrite").parquet(data_path)
 
-            agg_cols = [F.count("*").alias("rows_out")]
-            if "coverage" in deduped.columns:
-                agg_cols.append(F.round(F.sum("coverage"), 9).alias("coverage_sum"))
-            if "n_tok" in deduped.columns and "coverage" in deduped.columns:
-                agg_cols.append(F.round(F.sum(F.col("coverage") * F.col("n_tok")))
-                                .cast("long").alias("masked_tokens"))
-            lineage = (deduped.groupBy(F.spark_partition_id().alias("partition_id"))
-                       .agg(*agg_cols)
-                       .withColumn("batch_id", F.lit(batch_id)))
-            # collect the tiny per-partition lineage once: the marker's row
-            # count is the SUM of rows_out (no second full pass over the
-            # batch), and the metrics parquet is rewritten from the collected
-            # rows (a one-row-per-partition local frame, no data shuffle)
-            lineage_rows = lineage.collect()
-            n_rows = int(sum(r["rows_out"] for r in lineage_rows))
-            spark = batch_df.sparkSession
-            (spark.createDataFrame(lineage_rows, schema=lineage.schema)
-             .coalesce(1).write.mode("overwrite").parquet(metrics_path))
-        finally:
-            deduped.unpersist()
+        spark = batch_df.sparkSession
+        written = spark.read.parquet(data_path)
+        agg_cols = [F.count("*").alias("rows_out")]
+        if "coverage" in written.columns:
+            agg_cols.append(F.round(F.sum("coverage"), 9).alias("coverage_sum"))
+        if "n_tok" in written.columns and "coverage" in written.columns:
+            agg_cols.append(F.round(F.sum(F.col("coverage") * F.col("n_tok")))
+                            .cast("long").alias("masked_tokens"))
+        lineage = (written.groupBy(F.spark_partition_id().alias("partition_id"))
+                   .agg(*agg_cols)
+                   .withColumn("batch_id", F.lit(batch_id)))
+        # collect the tiny per-partition lineage once: the marker's row
+        # count is the SUM of rows_out, and the metrics parquet is written
+        # from the collected rows (one row per written partition, no shuffle)
+        lineage_rows = lineage.collect()
+        n_rows = int(sum(r["rows_out"] for r in lineage_rows))
+        (spark.createDataFrame(lineage_rows, schema=lineage.schema)
+         .coalesce(1).write.mode("overwrite").parquet(metrics_path))
 
         # atomic commit marker: tmp file + rename (rename is atomic on POSIX)
         fd, tmp = tempfile.mkstemp(dir=f"{self.out_dir}/_commits",

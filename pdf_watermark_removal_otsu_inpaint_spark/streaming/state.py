@@ -17,19 +17,38 @@ from ..params import DEFAULT_PARAMS, EngineParams
 DETECT_STATE_OUTPUT = ("doc_id string, seq_no long, event_ts timestamp, "
                        "source string, mask array<boolean>, wm_token int, "
                        "coverage double, from_state boolean")
+# X6 wire format: bit-packed masks divide the mask's bytes by ~8 across the
+# stream-stream join SHUFFLE and inside the join's STATE STORE (each side
+# of an interval join buffers its rows in state until the watermark closes
+# them out) — at 2048 tokens that is ~2 KB -> 256 B per buffered row. The
+# post-join repair already dispatches on the mask column name
+# (pipeline.repair_joined -> make_apply_mask_bin_udf).
+DETECT_STATE_OUTPUT_PACKED = (
+    "doc_id string, seq_no long, event_ts timestamp, "
+    "source string, mask_bin binary, wm_token int, "
+    "coverage double, from_state boolean")
 DETECT_STATE_SCHEMA = "wm_token int, rows_seen long"
 
 
 def assemble_detect_output(pdf: pd.DataFrame, mask_flat, offsets, wm_out,
-                           covs, froms) -> pd.DataFrame:
-    """The one DETECT_STATE_OUTPUT frame builder — shared by the fine-keyed
-    (v1) and coarse-keyed (X5c) stateful ops so a schema change cannot
-    silently diverge between them."""
+                           covs, froms, packed: bool = False) -> pd.DataFrame:
+    """The one detect-output frame builder — shared by the fine-keyed (v1)
+    and coarse-keyed (X5c) stateful ops so a schema change cannot silently
+    diverge between them. packed=True emits the bit-packed `mask_bin`
+    (np.packbits wire format, DETECT_STATE_OUTPUT_PACKED) instead of
+    `mask array<boolean>`."""
     B = len(pdf)
+    if packed:
+        mask_col = ("mask_bin",
+                    [np.packbits(mask_flat[offsets[i]:offsets[i + 1]])
+                     .tobytes() for i in range(B)])
+    else:
+        mask_col = ("mask",
+                    [mask_flat[offsets[i]:offsets[i + 1]] for i in range(B)])
     return pd.DataFrame({
         "doc_id": pdf["doc_id"], "seq_no": pdf["seq_no"],
         "event_ts": pdf["event_ts"], "source": pdf["source"],
-        "mask": [mask_flat[offsets[i]:offsets[i + 1]] for i in range(B)],
+        mask_col[0]: mask_col[1],
         "wm_token": [None if w < 0 else int(w) for w in wm_out],
         "coverage": covs,
         "from_state": froms,
@@ -37,7 +56,8 @@ def assemble_detect_output(pdf: pd.DataFrame, mask_flat, offsets, wm_out,
 
 
 def detect_group_batch(pdf: pd.DataFrame, wm: int | None,
-                       p: EngineParams) -> tuple[pd.DataFrame, int | None]:
+                       p: EngineParams,
+                       packed: bool = False) -> tuple[pd.DataFrame, int | None]:
     """Shared X5 group body (v1 applyInPandasWithState AND v2
     transformWithStateInPandas): whole-batch vectorized detection with the
     cache-once carry-over (the reference's self.watermark_color,
@@ -66,11 +86,13 @@ def detect_group_batch(pdf: pd.DataFrame, wm: int | None,
             froms[first + 1:] = True
             wm = int(det[first])
     mask_flat, wm_out, covs = detect_batch(flat, offsets, p, wm_in=wm_used)
-    out = assemble_detect_output(pdf, mask_flat, offsets, wm_out, covs, froms)
+    out = assemble_detect_output(pdf, mask_flat, offsets, wm_out, covs,
+                                 froms, packed=packed)
     return out, wm
 
 
-def make_stateful_detect(params: EngineParams = DEFAULT_PARAMS):
+def make_stateful_detect(params: EngineParams = DEFAULT_PARAMS,
+                         packed: bool = False):
     p = params
 
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
@@ -84,7 +106,7 @@ def make_stateful_detect(params: EngineParams = DEFAULT_PARAMS):
         wm, rows_seen = (state.get if state.exists else (None, 0))
         last_ms = 0
         for pdf in pdf_iter:
-            out, wm = detect_group_batch(pdf, wm, p)
+            out, wm = detect_group_batch(pdf, wm, p, packed=packed)
             rows_seen += len(pdf)
             if len(pdf):
                 last_ms = max(last_ms, int(
@@ -105,13 +127,16 @@ def make_stateful_detect(params: EngineParams = DEFAULT_PARAMS):
 
 
 def detect_stream_stateful(seq, params: EngineParams = DEFAULT_PARAMS,
-                           watermark: str = "10 minutes"):
-    """sequences stream -> stateful detect_masks stream (X5)."""
+                           watermark: str = "10 minutes",
+                           packed: bool = False):
+    """sequences stream -> stateful detect_masks stream (X5). packed=True
+    emits bit-packed `mask_bin` masks (the X6 join wire format)."""
     return (seq.withWatermark("event_ts", watermark)
             .groupBy("source", "doc_id")
             .applyInPandasWithState(
-                make_stateful_detect(params),
-                outputStructType=DETECT_STATE_OUTPUT,
+                make_stateful_detect(params, packed=packed),
+                outputStructType=(DETECT_STATE_OUTPUT_PACKED if packed
+                                  else DETECT_STATE_OUTPUT),
                 stateStructType=DETECT_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf="EventTimeTimeout"))

@@ -31,21 +31,26 @@ import numpy as np
 import pandas as pd
 
 from ..params import DEFAULT_PARAMS, EngineParams
-from .state import DETECT_STATE_OUTPUT, assemble_detect_output
+from .state import (DETECT_STATE_OUTPUT, DETECT_STATE_OUTPUT_PACKED,
+                    assemble_detect_output)
 
 DETECT_COARSE_STATE_SCHEMA = "blob binary"
 STATE_HORIZON_MS = 600_000
 
-# column names derived from the shared schema string, not restated by hand
+# column names derived from the shared schema strings, not restated by hand
 _OUT_COLS = tuple(f.split()[0] for f in DETECT_STATE_OUTPUT.split(", "))
+_OUT_COLS_PACKED = tuple(f.split()[0]
+                         for f in DETECT_STATE_OUTPUT_PACKED.split(", "))
 
 
-def _empty_out() -> pd.DataFrame:
-    return pd.DataFrame({c: pd.Series(dtype=object) for c in _OUT_COLS})
+def _empty_out(packed: bool = False) -> pd.DataFrame:
+    cols = _OUT_COLS_PACKED if packed else _OUT_COLS
+    return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
 
 
 def detect_source_batch(pdf: pd.DataFrame, docs: dict,
-                        p: EngineParams) -> tuple[pd.DataFrame, dict]:
+                        p: EngineParams,
+                        packed: bool = False) -> tuple[pd.DataFrame, dict]:
     """Whole-batch X5 body for ALL documents of one shard.
 
     ``docs`` maps doc_id -> (wm_token int, last_event_ms int). Semantics per
@@ -59,7 +64,7 @@ def detect_source_batch(pdf: pd.DataFrame, docs: dict,
                                                flatten_arrays)
     B = len(pdf)
     if B == 0:
-        return _empty_out(), docs
+        return _empty_out(packed), docs
 
     gid, uniq = pd.factorize(pdf["doc_id"], sort=False)
     order = np.argsort(gid, kind="stable")  # docs contiguous, row order kept
@@ -109,12 +114,14 @@ def detect_source_batch(pdf: pd.DataFrame, docs: dict,
             docs[doc] = (int(det[first]), int(ts_ms[s:e].max()))
 
     mask_flat, wm_out, covs = detect_batch(flat, offsets, p, wm_in=wm_used)
-    out = assemble_detect_output(pdf, mask_flat, offsets, wm_out, covs, froms)
+    out = assemble_detect_output(pdf, mask_flat, offsets, wm_out, covs,
+                                 froms, packed=packed)
     return out, docs
 
 
 def make_coarse_stateful_detect(params: EngineParams = DEFAULT_PARAMS,
-                                horizon_ms: int = STATE_HORIZON_MS):
+                                horizon_ms: int = STATE_HORIZON_MS,
+                                packed: bool = False):
     p = params
 
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
@@ -131,7 +138,7 @@ def make_coarse_stateful_detect(params: EngineParams = DEFAULT_PARAMS,
                 last_ms = max(last_ms, int(
                     pdf["event_ts"].to_numpy()
                     .astype("datetime64[ms]").astype("int64").max()))
-            out, docs = detect_source_batch(pdf, docs, p)
+            out, docs = detect_source_batch(pdf, docs, p, packed=packed)
             yield out
         # per-doc expiry AFTER processing, mirroring the fine-keyed timer
         # timing: a key with data in the batch never times out in v1, so a
@@ -155,7 +162,8 @@ def make_coarse_stateful_detect(params: EngineParams = DEFAULT_PARAMS,
 
 def detect_stream_stateful_coarse(seq, params: EngineParams = DEFAULT_PARAMS,
                                   watermark: str = "10 minutes",
-                                  n_shards: int = 64):
+                                  n_shards: int = 64,
+                                  packed: bool = False):
     """sequences stream -> stateful detect_masks stream, coarse-keyed (X5c).
 
     Output-equivalent to state.detect_stream_stateful (asserted in
@@ -168,13 +176,16 @@ def detect_stream_stateful_coarse(seq, params: EngineParams = DEFAULT_PARAMS,
     preserves full parallelism while cutting the per-batch Python dispatch
     count ~n_docs/(n_sources*n_shards)-fold."""
     from pyspark.sql import functions as F
+
+    from .state import DETECT_STATE_OUTPUT_PACKED
     return (seq.withWatermark("event_ts", watermark)
             .withColumn("_shard", F.pmod(F.xxhash64("doc_id"),
                                          F.lit(n_shards)))
             .groupBy("source", "_shard")
             .applyInPandasWithState(
-                make_coarse_stateful_detect(params),
-                outputStructType=DETECT_STATE_OUTPUT,
+                make_coarse_stateful_detect(params, packed=packed),
+                outputStructType=(DETECT_STATE_OUTPUT_PACKED if packed
+                                  else DETECT_STATE_OUTPUT),
                 stateStructType=DETECT_COARSE_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf="EventTimeTimeout"))

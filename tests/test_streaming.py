@@ -716,6 +716,54 @@ def test_stateful_coarse_matches_v1(spark, tmp_path):
     assert v1[("web", "docC", 2)][0] == 200 and v1[("web", "docC", 2)][1]
 
 
+def test_stateful_detect_packed_masks_match_unpacked(spark, tmp_path):
+    """X5/X5c packed output (mask_bin, the X6 wire format): unpacking the
+    bit-packed masks bit-for-bit reproduces the array<boolean> output, for
+    BOTH keyings, across carry-over batches."""
+    import datetime as dt
+
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.state_coarse import (
+        detect_stream_stateful_coarse)
+    n = 2000
+    det = _wm_fill(n, 200, 100, 460)
+    amb = _wm_fill(n, 200, 100, 700)
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 10)
+    batches = [
+        [("docA", det.tolist(), n, "web", t0, 0),
+         ("docB", amb.tolist(), n, "web", t0, 0)],
+        [("docA", amb.tolist(), n, "web",
+          t0 + dt.timedelta(seconds=10), 1)],
+    ]
+    outs = {}
+    for tag, fn in (
+            ("v1u", lambda s: detect_stream_stateful(s)),
+            ("v1p", lambda s: detect_stream_stateful(s, packed=True)),
+            ("xcu", lambda s: detect_stream_stateful_coarse(s)),
+            ("xcp", lambda s: detect_stream_stateful_coarse(s, packed=True))):
+        d = str(tmp_path / f"seq_{tag}")
+        write_batches(spark, [spark.createDataFrame(b, SEQ_SCHEMA)
+                              for b in batches], d)
+        q = (fn(file_stream(spark, d, max_files_per_trigger=1))
+             .writeStream.outputMode("append")
+             .format("memory").queryName(f"pk_{tag}").start())
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql(f"SELECT * FROM pk_{tag}").collect()
+        got = {}
+        for r in rows:
+            if hasattr(r, "mask_bin"):
+                m = np.unpackbits(np.frombuffer(bytes(r.mask_bin),
+                                                dtype=np.uint8),
+                                  count=n).astype(bool).tolist()
+            else:
+                m = list(r.mask)
+            got[(r.doc_id, r.seq_no)] = (m, r.wm_token, r.from_state)
+        outs[tag] = got
+    assert outs["v1u"] == outs["v1p"] == outs["xcu"] == outs["xcp"]
+    assert len(outs["v1u"]) == 3
+    assert any(any(m) for m, _, _ in outs["v1u"].values())  # non-trivial
+
+
 def test_stateful_coarse_v2_matches_coarse_v1(spark, tmp_path):
     """X5c on the v2 state API (CoarseDetectProcessor: shard-dict in a
     binary ValueState + per-shard timer) == the legacy
