@@ -300,20 +300,24 @@ def stateful_chain_compare_secs(spark, n_rows: int = 12000,
      .withColumn("doc_id", F.concat_ws("-", "doc_id",
                                        F.col("seq_no").cast("string")))
      .coalesce(8).write.mode("overwrite").parquet(src))
-    best = {"fine": float("inf"), "coarse": float("inf")}
+    legs = (
+        ("fine", dict(detect_fn=detect_stream_stateful)),  # v1 unpacked
+        # the DEFAULT path: coarse keying + bit-packed masks + X6 join
+        ("coarse", dict(detect_fn=lambda s, p: detect_stream_stateful_coarse(
+            s, p, packed=True))),
+        # join-free alternative: tokens pass through the state op, no X6
+        ("joinfree", dict(join_free=True)),
+    )
+    best = {tag: float("inf") for tag, _ in legs}
     rows_out = {}
     for _ in range(trials):
-        for tag, fn in (
-                ("fine", detect_stream_stateful),   # v1: unpacked masks
-                # the DEFAULT path: coarse keying + bit-packed masks
-                ("coarse", lambda s, p: detect_stream_stateful_coarse(
-                    s, p, packed=True))):
+        for tag, kw in legs:
             out = tempfile.mkdtemp(prefix="bench_chaincmp_out_")
             ck = tempfile.mkdtemp(prefix="bench_chaincmp_ck_")
             t0 = time.perf_counter()
             q = run_stateful_pipeline(
                 lambda s: file_stream(s, src, max_files_per_trigger=8),
-                f"{out}/o", ck, detect_fn=fn)
+                f"{out}/o", ck, **kw)
             finished = q.awaitTermination(600)
             secs = time.perf_counter() - t0
             if not finished:
@@ -329,13 +333,12 @@ def stateful_chain_compare_secs(spark, n_rows: int = 12000,
     if any(v == float("inf") for v in best.values()):
         raise RuntimeError("stateful_chain_compare_secs: every trial of a "
                            f"flavor timed out ({best})")
-    assert rows_out["fine"] == rows_out["coarse"] == n_rows, rows_out
-    return {"chain_docrow_rows": n_rows,
-            "chain_docrow_fine_sec": round(best["fine"], 3),
-            "chain_docrow_fine_seqs_per_sec": round(n_rows / best["fine"], 1),
-            "chain_docrow_coarse_sec": round(best["coarse"], 3),
-            "chain_docrow_coarse_seqs_per_sec":
-                round(n_rows / best["coarse"], 1)}
+    assert all(v == n_rows for v in rows_out.values()), rows_out
+    out = {"chain_docrow_rows": n_rows}
+    for tag in best:
+        out[f"chain_docrow_{tag}_sec"] = round(best[tag], 3)
+        out[f"chain_docrow_{tag}_seqs_per_sec"] = round(n_rows / best[tag], 1)
+    return out
 
 
 HEADLINE_ROUNDS = int(os.environ.get("SPARK_GRAFT_HEADLINE_ROUNDS", "3"))
@@ -717,6 +720,7 @@ def main():
               "stateful_detect_coarse_seqs_per_sec",
               "chain_docrow_fine_seqs_per_sec",
               "chain_docrow_coarse_seqs_per_sec",
+              "chain_docrow_joinfree_seqs_per_sec",
               "hist_explode_sec", "hist_bincount_sec"):
         if k in result:
             compact[k] = result[k]
@@ -890,10 +894,14 @@ def _write_bench_md(result, scale, north, ceiling):
         f"({result.get('chain_docrow_rows', 'n/a')} doc-groups in a single "
         "micro-batch — the 10^12-docs cardinality): fine-keyed "
         f"{result.get('chain_docrow_fine_seqs_per_sec', 'n/a')} seqs/s vs "
-        "coarse-keyed "
+        "coarse-keyed packed "
         f"{result.get('chain_docrow_coarse_seqs_per_sec', 'n/a')} seqs/s "
         "end-to-end (detect -> stream-stream join -> repair -> exactly-once "
-        "sink), interleaved best-of-N.",
+        "sink), interleaved best-of-N. JOIN-FREE flavor (tokens pass "
+        "through the state op, repair directly on its output — no X6 join, "
+        "so neither stream buffers in join state; committed rows "
+        "equality-tested vs the joined default): "
+        f"{result.get('chain_docrow_joinfree_seqs_per_sec', 'n/a')} seqs/s.",
         "",
         "Reference single-thread baseline (BASELINE.md): ~0.7-2.2 M "
         "pixel-ops/s, i.e. ~350-1000 sequences/s at 2048 tokens. Engine "

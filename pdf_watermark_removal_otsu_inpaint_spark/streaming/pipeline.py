@@ -190,7 +190,8 @@ def run_repair_pipeline(seq: DataFrame, out_dir: str, checkpoint_dir: str,
 def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
                           params: EngineParams = DEFAULT_PARAMS,
                           trigger_once: bool = True,
-                          detect_fn=None):
+                          detect_fn=None,
+                          join_free: bool = False):
     """X5+X6 composition: stateful detect stream joined back to the raw
     stream, repaired, committed exactly-once.
 
@@ -220,6 +221,16 @@ def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
     v1 (kept as the parity reference — the two are output-equality-tested
     in tests/test_streaming.py).
 
+    `join_free=True` swaps the X6 stream-stream join for a token
+    PASS-THROUGH: the coarse stateful detect op emits each row's tokens
+    alongside its packed mask, and the K2 repair runs directly on its
+    output — same committed rows (equality-tested), but neither stream is
+    buffered in join state (the interval join holds BOTH sides until the
+    watermark closes them, which at 10^12 rows is the chain's largest
+    state). The joined composition stays the default because the
+    north-star names the stream-stream join explicitly; join-free is the
+    measured alternative when detection and repair share one stream.
+
     NOTE (round-3 API break, recorded): `seq` used to accept a DataFrame;
     it now REQUIRES a stream factory so the query can run on the isolated
     session. External callers following the old docstring must wrap their
@@ -241,16 +252,26 @@ def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
     iso.conf.set(key, "false")
     stream = factory(iso)
 
-    if detect_fn is None:
+    if join_free:
+        if detect_fn is not None:
+            raise ValueError("join_free uses its own pass-through detect "
+                             "stage; detect_fn cannot be overridden")
         from .state_coarse import detect_stream_stateful_coarse
+        enriched = detect_stream_stateful_coarse(stream, params,
+                                                 packed=True,
+                                                 with_tokens=True)
+        repaired = repair_joined(enriched, params)
+    else:
+        if detect_fn is None:
+            from .state_coarse import detect_stream_stateful_coarse
 
-        def detect_fn(s, p):
-            return detect_stream_stateful_coarse(s, p, packed=True)
-    masks = detect_fn(stream, params)
-    joined = join_masks_with_sequences(stream, masks,
-                                       seq_watermark="10 minutes",
-                                       mask_watermark="10 minutes")
-    repaired = repair_joined(joined, params)
+            def detect_fn(s, p):
+                return detect_stream_stateful_coarse(s, p, packed=True)
+        masks = detect_fn(stream, params)
+        joined = join_masks_with_sequences(stream, masks,
+                                           seq_watermark="10 minutes",
+                                           mask_watermark="10 minutes")
+        repaired = repair_joined(joined, params)
     sink = ExactlyOnceParquetSink(out_dir)
     writer = (repaired.writeStream.foreachBatch(sink)
               .option("checkpointLocation", checkpoint_dir))

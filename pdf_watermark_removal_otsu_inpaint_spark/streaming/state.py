@@ -27,16 +27,28 @@ DETECT_STATE_OUTPUT_PACKED = (
     "doc_id string, seq_no long, event_ts timestamp, "
     "source string, mask_bin binary, wm_token int, "
     "coverage double, from_state boolean")
+# Join-free chain flavor: the state op already holds each row's tokens, so
+# it can pass them through alongside the mask and feed the K2 repair
+# DIRECTLY — no X6 stream-stream join, so neither stream is buffered in
+# join state (at 10^12 rows the join buffers BOTH sides until the
+# watermark closes them). X6 stays the spec'd default composition; this is
+# the measured alternative for the carry-over-without-rejoin shape.
+DETECT_STATE_OUTPUT_JOINFREE = (
+    "doc_id string, seq_no long, event_ts timestamp, "
+    "source string, tokens array<int>, n_tok int, mask_bin binary, "
+    "wm_token int, coverage double, from_state boolean")
 DETECT_STATE_SCHEMA = "wm_token int, rows_seen long"
 
 
 def assemble_detect_output(pdf: pd.DataFrame, mask_flat, offsets, wm_out,
-                           covs, froms, packed: bool = False) -> pd.DataFrame:
+                           covs, froms, packed: bool = False,
+                           with_tokens: bool = False) -> pd.DataFrame:
     """The one detect-output frame builder — shared by the fine-keyed (v1)
     and coarse-keyed (X5c) stateful ops so a schema change cannot silently
     diverge between them. packed=True emits the bit-packed `mask_bin`
     (np.packbits wire format, DETECT_STATE_OUTPUT_PACKED) instead of
-    `mask array<boolean>`."""
+    `mask array<boolean>`; with_tokens=True additionally passes the input
+    tokens/n_tok through (DETECT_STATE_OUTPUT_JOINFREE, packed only)."""
     B = len(pdf)
     if packed:
         mask_col = ("mask_bin",
@@ -45,14 +57,17 @@ def assemble_detect_output(pdf: pd.DataFrame, mask_flat, offsets, wm_out,
     else:
         mask_col = ("mask",
                     [mask_flat[offsets[i]:offsets[i + 1]] for i in range(B)])
-    return pd.DataFrame({
-        "doc_id": pdf["doc_id"], "seq_no": pdf["seq_no"],
-        "event_ts": pdf["event_ts"], "source": pdf["source"],
-        mask_col[0]: mask_col[1],
-        "wm_token": [None if w < 0 else int(w) for w in wm_out],
-        "coverage": covs,
-        "from_state": froms,
-    })
+    out = {"doc_id": pdf["doc_id"], "seq_no": pdf["seq_no"],
+           "event_ts": pdf["event_ts"], "source": pdf["source"]}
+    if with_tokens:
+        assert packed, "with_tokens implies the packed wire format"
+        out["tokens"] = pdf["tokens"]
+        out["n_tok"] = pdf["n_tok"]
+    out[mask_col[0]] = mask_col[1]
+    out["wm_token"] = [None if w < 0 else int(w) for w in wm_out]
+    out["coverage"] = covs
+    out["from_state"] = froms
+    return pd.DataFrame(out)
 
 
 def detect_group_batch(pdf: pd.DataFrame, wm: int | None,

@@ -31,8 +31,8 @@ import numpy as np
 import pandas as pd
 
 from ..params import DEFAULT_PARAMS, EngineParams
-from .state import (DETECT_STATE_OUTPUT, DETECT_STATE_OUTPUT_PACKED,
-                    assemble_detect_output)
+from .state import (DETECT_STATE_OUTPUT, DETECT_STATE_OUTPUT_JOINFREE,
+                    DETECT_STATE_OUTPUT_PACKED, assemble_detect_output)
 
 DETECT_COARSE_STATE_SCHEMA = "blob binary"
 STATE_HORIZON_MS = 600_000
@@ -41,16 +41,22 @@ STATE_HORIZON_MS = 600_000
 _OUT_COLS = tuple(f.split()[0] for f in DETECT_STATE_OUTPUT.split(", "))
 _OUT_COLS_PACKED = tuple(f.split()[0]
                          for f in DETECT_STATE_OUTPUT_PACKED.split(", "))
+_OUT_COLS_JOINFREE = tuple(f.split()[0]
+                           for f in DETECT_STATE_OUTPUT_JOINFREE.split(", "))
 
 
-def _empty_out(packed: bool = False) -> pd.DataFrame:
-    cols = _OUT_COLS_PACKED if packed else _OUT_COLS
+def _empty_out(packed: bool = False,
+               with_tokens: bool = False) -> pd.DataFrame:
+    cols = (_OUT_COLS_JOINFREE if with_tokens
+            else _OUT_COLS_PACKED if packed else _OUT_COLS)
     return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
 
 
 def detect_source_batch(pdf: pd.DataFrame, docs: dict,
                         p: EngineParams,
-                        packed: bool = False) -> tuple[pd.DataFrame, dict]:
+                        packed: bool = False,
+                        with_tokens: bool = False
+                        ) -> tuple[pd.DataFrame, dict]:
     """Whole-batch X5 body for ALL documents of one shard.
 
     ``docs`` maps doc_id -> (wm_token int, last_event_ms int). Semantics per
@@ -64,7 +70,7 @@ def detect_source_batch(pdf: pd.DataFrame, docs: dict,
                                                flatten_arrays)
     B = len(pdf)
     if B == 0:
-        return _empty_out(packed), docs
+        return _empty_out(packed, with_tokens), docs
 
     gid, uniq = pd.factorize(pdf["doc_id"], sort=False)
     order = np.argsort(gid, kind="stable")  # docs contiguous, row order kept
@@ -115,13 +121,15 @@ def detect_source_batch(pdf: pd.DataFrame, docs: dict,
 
     mask_flat, wm_out, covs = detect_batch(flat, offsets, p, wm_in=wm_used)
     out = assemble_detect_output(pdf, mask_flat, offsets, wm_out, covs,
-                                 froms, packed=packed)
+                                 froms, packed=packed,
+                                 with_tokens=with_tokens)
     return out, docs
 
 
 def make_coarse_stateful_detect(params: EngineParams = DEFAULT_PARAMS,
                                 horizon_ms: int = STATE_HORIZON_MS,
-                                packed: bool = False):
+                                packed: bool = False,
+                                with_tokens: bool = False):
     p = params
 
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
@@ -138,7 +146,8 @@ def make_coarse_stateful_detect(params: EngineParams = DEFAULT_PARAMS,
                 last_ms = max(last_ms, int(
                     pdf["event_ts"].to_numpy()
                     .astype("datetime64[ms]").astype("int64").max()))
-            out, docs = detect_source_batch(pdf, docs, p, packed=packed)
+            out, docs = detect_source_batch(pdf, docs, p, packed=packed,
+                                            with_tokens=with_tokens)
             yield out
         # per-doc expiry AFTER processing, mirroring the fine-keyed timer
         # timing: a key with data in the batch never times out in v1, so a
@@ -163,7 +172,8 @@ def make_coarse_stateful_detect(params: EngineParams = DEFAULT_PARAMS,
 def detect_stream_stateful_coarse(seq, params: EngineParams = DEFAULT_PARAMS,
                                   watermark: str = "10 minutes",
                                   n_shards: int = 64,
-                                  packed: bool = False):
+                                  packed: bool = False,
+                                  with_tokens: bool = False):
     """sequences stream -> stateful detect_masks stream, coarse-keyed (X5c).
 
     Output-equivalent to state.detect_stream_stateful (asserted in
@@ -177,15 +187,20 @@ def detect_stream_stateful_coarse(seq, params: EngineParams = DEFAULT_PARAMS,
     count ~n_docs/(n_sources*n_shards)-fold."""
     from pyspark.sql import functions as F
 
-    from .state import DETECT_STATE_OUTPUT_PACKED
+    out_schema = (DETECT_STATE_OUTPUT_JOINFREE if with_tokens
+                  else DETECT_STATE_OUTPUT_PACKED if packed
+                  else DETECT_STATE_OUTPUT)
+    if with_tokens and not packed:
+        raise ValueError("with_tokens requires packed=True "
+                         "(the join-free wire format)")
     return (seq.withWatermark("event_ts", watermark)
             .withColumn("_shard", F.pmod(F.xxhash64("doc_id"),
                                          F.lit(n_shards)))
             .groupBy("source", "_shard")
             .applyInPandasWithState(
-                make_coarse_stateful_detect(params, packed=packed),
-                outputStructType=(DETECT_STATE_OUTPUT_PACKED if packed
-                                  else DETECT_STATE_OUTPUT),
+                make_coarse_stateful_detect(params, packed=packed,
+                                            with_tokens=with_tokens),
+                outputStructType=out_schema,
                 stateStructType=DETECT_COARSE_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf="EventTimeTimeout"))

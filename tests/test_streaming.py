@@ -716,6 +716,31 @@ def test_stateful_coarse_matches_v1(spark, tmp_path):
     assert v1[("web", "docC", 2)][0] == 200 and v1[("web", "docC", 2)][1]
 
 
+def test_join_free_chain_matches_joined_chain(spark, tmp_path):
+    """join_free=True (state op passes tokens through, repair runs on its
+    output, no X6 join) commits EXACTLY the rows of the joined default —
+    across micro-batches with carry-over."""
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.pipeline import (
+        run_stateful_pipeline)
+    outs = {}
+    for tag, jf in (("joined", False), ("jfree", True)):
+        seq_dir = str(tmp_path / f"seq_{tag}")
+        df = sequences_df(spark, 24, seed=16)
+        halves = [df.where(F.col("seq_no") % 2 == 0),
+                  df.where(F.col("seq_no") % 2 == 1)]
+        write_batches(spark, halves, seq_dir)
+        q = run_stateful_pipeline(
+            lambda s: file_stream(s, seq_dir),
+            str(tmp_path / f"out_{tag}"), str(tmp_path / f"ck_{tag}"),
+            join_free=jf)
+        q.awaitTermination(180)
+        outs[tag] = {(r.doc_id, r.seq_no): (r.tokens, r.wm_token)
+                     for r in ExactlyOnceParquetSink(
+                         str(tmp_path / f"out_{tag}"))
+                     .read_committed(spark).collect()}
+    assert outs["joined"] == outs["jfree"] and len(outs["jfree"]) == 24
+
+
 def test_stateful_detect_packed_masks_match_unpacked(spark, tmp_path):
     """X5/X5c packed output (mask_bin, the X6 wire format): unpacking the
     bit-packed masks bit-for-bit reproduces the array<boolean> output, for
