@@ -439,6 +439,156 @@ def _median(xs):
     return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
+E1X_LADDER_TRIALS = int(os.environ.get("SPARK_GRAFT_E1X_TRIALS", "3"))
+# sink output + shuffle dirs for the SCALING ladder live on tmpfs: on a
+# real cluster sink/shuffle I/O lands on per-node disks that scale with
+# the cluster, but this box has ONE shared disk (~400 MB/s) — measured on
+# it, both legs bottleneck on the same device and the ratio measures the
+# disk, not the job (observed: the 2-core and 32-core e1x runs converge).
+# tmpfs makes I/O a per-leg (DRAM) resource, the same isolation reasoning
+# as the DRAM-ceiling probe; ABSOLUTE disk-backed throughput is what the
+# headline exactly_once leg reports.
+E1X_SCRATCH = os.environ.get("SPARK_GRAFT_E1X_SCRATCH",
+                             "/dev/shm/spark_graft_e1x")
+
+
+def e1x_child(cpus: int) -> None:
+    """Subprocess entry for ONE exactly-once ladder leg: the FULL streamed
+    job (file stream -> fused detect+repair -> exactly-once sink with
+    dedup, lineage and commit markers) on the 8x ladder input (the same
+    workload as the kernel ladder, so fixed micro-batch cost is
+    amortized). One complete run per 'GO' line; fresh checkpoint + output
+    dirs each trial; cold-start absorbed by an uncounted warmup run."""
+    import shutil as _sh
+    import tempfile
+
+    from pdf_watermark_removal_otsu_inpaint_spark.operators.repair_vectorized import (  # noqa: E501
+        repair_sequences_arrow_packed)
+    from pdf_watermark_removal_otsu_inpaint_spark.params import DEFAULT_PARAMS
+    from pdf_watermark_removal_otsu_inpaint_spark.session import get_spark
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.sink import (
+        ExactlyOnceParquetSink)
+    scratch = f"{E1X_SCRATCH}_{cpus}"
+    os.makedirs(scratch, exist_ok=True)
+    conf = dict(TOKEN_CONF)
+    conf["spark.local.dir"] = f"{scratch}/local"
+    spark = get_spark(f"bench-e1x-ladder-{cpus}", cpus=cpus,
+                      shuffle_partitions=cpus, extra_conf=conf)
+    params = DEFAULT_PARAMS.with_(passes=2)
+
+    def one_run() -> float:
+        out_dir = tempfile.mkdtemp(prefix="e1x_out_", dir=scratch)
+        ck = tempfile.mkdtemp(prefix="e1x_ck_", dir=scratch)
+        sink = ExactlyOnceParquetSink(f"{out_dir}/out")
+        stream = (spark.readStream
+                  .schema("doc_id string, n_tok int, source string, "
+                          "event_ts timestamp, seq_no long, "
+                          "tokens_bin binary")
+                  .option("maxFilesPerTrigger",
+                          os.environ.get("SPARK_GRAFT_E1X_MAXFILES", "128"))
+                  .parquet(f"{LADDER_INPUT}/packed"))
+        t0 = time.perf_counter()
+        q = (stream.writeStream
+             .foreachBatch(
+                 lambda b, i: sink(repair_sequences_arrow_packed(b, params),
+                                   i))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        secs = time.perf_counter() - t0
+        n = sum(json.load(open(f"{sink.out_dir}/_commits/{b}.json"))["rows"]
+                for b in [f.split(".")[0] for f in
+                          sorted(os.listdir(f"{sink.out_dir}/_commits"))
+                          if f.endswith(".json")])
+        assert n == LADDER_ROWS, f"e1x ladder rows {n} != {LADDER_ROWS}"
+        _sh.rmtree(out_dir, ignore_errors=True)
+        _sh.rmtree(ck, ignore_errors=True)
+        return secs
+
+    try:
+        one_run()   # warm: streaming engine + python workers, uncounted
+        print(json.dumps({"ready": True, "cpus": cpus}), flush=True)
+        for line in sys.stdin:
+            if line.strip() != "GO":
+                break
+            print(json.dumps({"cpus": cpus, "sec": one_run()}), flush=True)
+        spark.stop()
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+
+
+def run_e1x_ladder() -> dict:
+    """North-rule evidence on the EXACTLY-ONCE job itself: the metric is
+    'sustained sequences/sec (exactly-once ...) with scaling efficiency
+    >= 0.8 from N to 4N executors', so this ladder runs the complete
+    streamed sink job (not just the kernel) at 2 vs 8 pinned cores on the
+    same input, interleaved A/B with median-per-leg — the identical noise
+    protocol as the kernel ladder."""
+    have_taskset = shutil.which("taskset") is not None
+    legs = ((2, "0-1"), (8, "0-7"))
+    procs = {}
+    for cpus, cpuset in legs:
+        cmd = [sys.executable, os.path.abspath(__file__), "--e1x-child",
+               str(cpus)]
+        if have_taskset:
+            cmd = ["taskset", "-c", cpuset] + cmd
+        procs[cpus] = subprocess.Popen(
+            cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True, bufsize=1)
+
+    def next_json(p, timeout_s=900):
+        import threading
+        timer = threading.Timer(timeout_s, p.kill)
+        timer.start()
+        try:
+            while True:
+                line = p.stdout.readline()
+                if not line:
+                    raise RuntimeError("e1x ladder child died or timed out")
+                if line.startswith("{"):
+                    return json.loads(line)
+        finally:
+            timer.cancel()
+
+    try:
+        for cpus, _ in legs:
+            next_json(procs[cpus])
+        trials = {cpus: [] for cpus, _ in legs}
+        for _ in range(E1X_LADDER_TRIALS):
+            for cpus, _ in legs:
+                p = procs[cpus]
+                p.stdin.write("GO\n")
+                p.stdin.flush()
+                trials[cpus].append(next_json(p)["sec"])
+        for cpus, _ in legs:
+            p = procs[cpus]
+            p.stdin.close()
+            try:
+                p.wait(timeout=120)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                p.wait()
+    except BaseException:
+        for p in procs.values():
+            p.kill()
+        raise
+    out = {}
+    for cpus, _ in legs:
+        med = _median(trials[cpus])
+        out[cpus] = {"sec": round(med, 3),
+                     "seqs_per_sec": round(LADDER_ROWS / med, 1),
+                     "trials_sec": [round(x, 2) for x in trials[cpus]],
+                     "spread": round(
+                         (max(trials[cpus]) - min(trials[cpus])) / med, 3),
+                     "pinned": have_taskset}
+    out["rows"] = LADDER_ROWS
+    out["trials"] = E1X_LADDER_TRIALS
+    out["protocol"] = "interleaved A/B rounds, median per leg, warm engine"
+    out["efficiency_2_to_8"] = round(
+        (out[2]["sec"] / out[8]["sec"]) / (8 / 2), 3)
+    return out
+
+
 def run_north_ladder() -> dict:
     """N -> 4N executors (2 -> 8 pinned cores) on the 8x input: the primary
     north-rule scaling evidence. Sized below the host's DRAM saturation knee
@@ -653,6 +803,9 @@ def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--ladder-child":
         ladder_child(int(sys.argv[2]))
         return
+    if len(sys.argv) > 2 and sys.argv[1] == "--e1x-child":
+        e1x_child(int(sys.argv[2]))
+        return
 
     from pdf_watermark_removal_otsu_inpaint_spark.session import get_spark
 
@@ -699,6 +852,10 @@ def main():
         result["scaling_n_to_4n"] = north
         # the north-rule criterion (N -> 4N executors, same job+input):
         result["scaling_efficiency_north"] = north["efficiency_2_to_8"]
+        e1x_ladder = run_e1x_ladder()
+        result["scaling_n_to_4n_exactly_once"] = e1x_ladder
+        result["scaling_efficiency_north_e1x"] = \
+            e1x_ladder["efficiency_2_to_8"]
         ceiling = host_ceiling_probe()
         result["host_ceiling"] = ceiling
         _write_bench_md(result, scaling, north, ceiling)
@@ -711,6 +868,7 @@ def main():
     compact = {k: result[k] for k in ("metric", "unit", "sf", "value",
                                       "queries")}
     for k in ("scaling_efficiency_north",
+              "scaling_efficiency_north_e1x",
               "pipeline_packed_seqs_per_sec",
               "pipeline_arrow_packed_seqs_per_sec",
               "pipeline_tokens_per_sec",
@@ -782,6 +940,35 @@ def _write_bench_md(result, scale, north, ceiling):
         "",
         f"**Scaling efficiency N -> 4N: {north['efficiency_2_to_8']}** "
         "(north_rule target >= 0.8; ratio of medians).",
+        "",
+        "## North-rule ladder, EXACTLY-ONCE flavor (the metric's own job)",
+        "",
+        "The north metric reads 'sustained sequences/sec (exactly-once ...)"
+        " with scaling efficiency >= 0.8 from N to 4N executors' — so the "
+        "same two pinned cluster sizes also run the COMPLETE streamed job "
+        "(file stream -> fused detect+repair -> exactly-once sink with "
+        "in-batch dedup, per-partition lineage and commit markers), "
+        f"{result.get('scaling_n_to_4n_exactly_once', {}).get('rows', '?')} "
+        "rows, sink+shuffle on tmpfs (per-node-resource emulation; see "
+        "methodology note), interleaved median-of-"
+        f"{result.get('scaling_n_to_4n_exactly_once', {}).get('trials', '?')}"
+        ", warm engine:",
+        "",
+        "| cluster size | median sec | sequences/sec | spread | trials |",
+        "| --- | --- | --- | --- | --- |",
+    ] + ([
+        f"| N  (local[2])  | {result['scaling_n_to_4n_exactly_once'][2]['sec']} | "
+        f"{result['scaling_n_to_4n_exactly_once'][2]['seqs_per_sec']} | "
+        f"{result['scaling_n_to_4n_exactly_once'][2]['spread']} | "
+        f"{result['scaling_n_to_4n_exactly_once'][2]['trials_sec']} |",
+        f"| 4N (local[8])  | {result['scaling_n_to_4n_exactly_once'][8]['sec']} | "
+        f"{result['scaling_n_to_4n_exactly_once'][8]['seqs_per_sec']} | "
+        f"{result['scaling_n_to_4n_exactly_once'][8]['spread']} | "
+        f"{result['scaling_n_to_4n_exactly_once'][8]['trials_sec']} |",
+        "",
+        "**Exactly-once scaling efficiency N -> 4N: "
+        f"{result['scaling_efficiency_north_e1x']}**.",
+    ] if "scaling_n_to_4n_exactly_once" in result else []) + [
         "",
         "## Saturation ladder: 8 -> 32 cores "
         f"({result['pipeline_rows']} rows; round-over-round comparable)",
