@@ -5,12 +5,12 @@
   arrays derived from /root/testdata/sf0.001 documents.
 - ``queries()``: every implemented operator from SURVEY.md §2 as a named
   (spark, sf_dir) -> DataFrame callable.
-- ``oracle_sql()``: DuckDB-equivalent SQL for each query the driver can
-  hash (49/50, including cross-paradigm SQL re-derivations of the kernel
-  chains — q40 unrolls the full 2-pass repair, q47 aggregates over it);
-  q37 is the one rows-only entry (float32 step-rounded blend, not safely
-  SQL-expressible) and is exact-parity-tested in tests/ against the NumPy
-  reference kernels.
+- ``oracle_sql()``: DuckDB-equivalent SQL for EVERY registered query
+  (50/50), including cross-paradigm SQL re-derivations of the kernel
+  chains: q40 unrolls the full 2-pass repair, q47 aggregates over it, and
+  q37 parametrizes the unroll by the per-source classified params —
+  including the float32 step-rounded blend, which DuckDB reproduces
+  bit-exactly because its FLOAT arithmetic is per-step float32.
 """
 
 from __future__ import annotations

@@ -1822,19 +1822,290 @@ def q36(spark, sf_dir):
                     mxx.mask_count(F.col("_d.mask")).alias("masked_positions")))
 
 
-@q("q37_profiled_repair")
+@q("q37_profiled_repair", """
+WITH first_doc AS (
+  SELECT source, MIN(doc_id) AS doc_id FROM documents GROUP BY source),
+ctoks AS (
+  SELECT d.source, CAST(t.i - 1 AS BIGINT) AS p,
+         ascii(substring(d.text, CAST(t.i AS INT), 1)) AS g
+  FROM documents d JOIN first_doc f ON d.doc_id = f.doc_id,
+       UNNEST(generate_series(1, length(d.text))) AS t(i)),
+a10 AS (
+  SELECT source, LEAST(100.0, GREATEST(0.0,
+         100.0 - COUNT(DISTINCT (g // 8) * 8) / 2.0)) AS disc
+  FROM ctoks GROUP BY source),
+cdark AS (SELECT source, g FROM ctoks WHERE g < 100),
+darkcnt AS (SELECT source, COUNT(*) AS nd FROM cdark GROUP BY source),
+chist AS (SELECT source, g // 5 AS bin, COUNT(*) AS c
+          FROM cdark GROUP BY 1, 2),
+cpk AS (
+  SELECT source, bin FROM (
+    SELECT source, bin,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY c DESC, bin ASC) AS rn
+    FROM chist) s WHERE rn = 1),
+cpeak AS (
+  SELECT d.source,
+         CASE WHEN COUNT(*) > 10
+              THEN sqrt(AVG(CAST(d.g AS DOUBLE) * d.g)
+                        - AVG(CAST(d.g AS DOUBLE)) * AVG(CAST(d.g AS DOUBLE)))
+              ELSE 255.0 END AS sd
+  FROM cdark d JOIN cpk ON cpk.source = d.source AND d.g // 5 = cpk.bin
+  GROUP BY d.source),
+a11 AS (
+  SELECT s.source,
+         CASE WHEN COALESCE(dc.nd, 0) < 100 THEN 50.0
+              ELSE GREATEST(0.0, 100.0 - COALESCE(pe.sd, 255.0) * 2.5)
+         END AS conc
+  FROM (SELECT DISTINCT source FROM ctoks) s
+  LEFT JOIN darkcnt dc USING (source) LEFT JOIN cpeak pe USING (source)),
+clap AS (
+  SELECT source,
+         CAST(LEAD(g, 2) OVER w - 2 * LEAD(g, 1) OVER w + g AS DOUBLE) AS l2
+  FROM ctoks WINDOW w AS (PARTITION BY source ORDER BY p)),
+a12 AS (
+  SELECT source,
+         LEAST(100.0, (AVG(l2 * l2) - AVG(l2) * AVG(l2)) / 10.0) AS sharp
+  FROM clap WHERE l2 IS NOT NULL GROUP BY source),
+cmed AS (
+  SELECT source, g,
+         (prev + g + nxt - GREATEST(prev, g, nxt)
+                         - LEAST(prev, g, nxt)) AS m3
+  FROM (SELECT source, p, g, LAG(g) OVER w AS prev, LEAD(g) OVER w AS nxt
+        FROM ctoks WINDOW w AS (PARTITION BY source ORDER BY p)) s
+  WHERE prev IS NOT NULL AND nxt IS NOT NULL),
+a13 AS (
+  SELECT source, GREATEST(0.0,
+         100.0 - (AVG(ABS(CAST(g - m3 AS DOUBLE))) / 255.0) * 1000.0) AS clean
+  FROM cmed GROUP BY source),
+cscored AS (
+  SELECT a10.source,
+         a10.disc * 0.3 + a11.conc * 0.3 + a12.sharp * 0.2
+         + a13.clean * 0.2 AS e
+  FROM a10 JOIN a11 USING (source) JOIN a12 USING (source)
+  JOIN a13 USING (source)),
+typed AS (
+  SELECT source,
+         CASE WHEN e > 70 AND (100.0 - e) < 30 THEN 'electronic'
+              WHEN (100.0 - e) > 70 AND e < 30 THEN 'scanned'
+              ELSE 'mixed' END AS doc_type
+  FROM cscored),
+prm AS (  -- per-source tuned params; kl/kr = erode/dilate half-kernels
+  SELECT t.source, t.doc_type, pd.tol,
+         CAST((pd.kk - 1) // 2 AS BIGINT) AS kl,
+         CAST(pd.kk // 2 AS BIGINT) AS kr,
+         pd.st, pd.ps
+  FROM typed t JOIN (VALUES
+    ('electronic', 18, 3, CAST(1.0 AS DOUBLE), 1),
+    ('scanned',    32, 5, CAST(1.3 AS DOUBLE), 2),
+    ('mixed',      25, 3, CAST(1.1 AS DOUBLE), 2))
+    AS pd(doc_type, tol, kk, st, ps) USING (doc_type)),
+pos AS (
+  SELECT doc_id, source, CAST(t.i - 1 AS BIGINT) AS p,
+         ascii(substring(text, CAST(t.i AS INT), 1)) AS g,
+         CAST(length(text) AS BIGINT) AS n
+  FROM documents, UNNEST(generate_series(1, length(text))) AS t(i)),
+dprm AS (
+  SELECT d.doc_id, d.source, p.doc_type, p.tol, p.kl, p.kr, p.st, p.ps
+  FROM (SELECT DISTINCT doc_id, source FROM documents) d
+  JOIN prm p USING (source)),
+whist AS (SELECT doc_id, g AS tok, MAX(n) AS n, COUNT(*) AS cnt
+          FROM pos GROUP BY doc_id, g),
+wranked AS (
+  SELECT doc_id, tok, cnt, n, cnt * 100.0 / n AS coverage_pct,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, tok DESC) AS rnk
+  FROM whist),
+wm AS (
+  SELECT doc_id, tok AS wm_token FROM (
+    SELECT doc_id, tok, rnk,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY rnk) AS pick
+    FROM wranked
+    WHERE rnk <= 10 AND tok BETWEEN 100 AND 250
+      AND coverage_pct BETWEEN 1 AND 20) s
+  WHERE pick = 1),
+-- ============================ PASS 1 =====================================
+raw1 AS (
+  SELECT p.doc_id, p.p, p.n FROM pos p
+  JOIN wm ON wm.doc_id = p.doc_id
+  JOIN dprm dp ON dp.doc_id = p.doc_id
+  WHERE ABS(p.g - wm.wm_token) < dp.tol AND p.g <= 250),
+p1m1_sp AS (
+  SELECT doc_id, MAX(n) AS n, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM raw1) x GROUP BY doc_id, isl),
+p1m1_e AS (  -- open x1: erode(k,1), border-aware
+  SELECT m.doc_id, m.n,
+         CASE WHEN m.s=0 THEN 0 ELSE m.s + d.kl END AS s,
+         CASE WHEN m.e=m.n THEN m.n ELSE m.e - d.kr END AS e
+  FROM p1m1_sp m JOIN dprm d USING (doc_id)
+  WHERE (CASE WHEN m.s=0 THEN 0 ELSE m.s + d.kl END)
+      < (CASE WHEN m.e=m.n THEN m.n ELSE m.e - d.kr END)),
+p1m1 AS (  -- ... then dilate(k,1)
+  SELECT DISTINCT m.doc_id, m.n,
+         UNNEST(generate_series(GREATEST(m.s - d.kr, 0),
+                                LEAST(m.e + d.kl, m.n) - 1)) AS p
+  FROM p1m1_e m JOIN dprm d USING (doc_id)),
+p1m2_sp AS (
+  SELECT doc_id, MAX(n) AS n, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM p1m1) x GROUP BY doc_id, isl),
+p1m2_d AS (  -- close x2: dilate(k,2) ...
+  SELECT DISTINCT m.doc_id, m.n,
+         UNNEST(generate_series(GREATEST(m.s - 2*d.kr, 0),
+                                LEAST(m.e + 2*d.kl, m.n) - 1)) AS p
+  FROM p1m2_sp m JOIN dprm d USING (doc_id)),
+p1m3_sp AS (
+  SELECT doc_id, MAX(n) AS n, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM p1m2_d) x GROUP BY doc_id, isl),
+p1m3_e AS (  -- ... then erode(k,2), border-aware
+  SELECT m.doc_id, m.n,
+         CASE WHEN m.s=0 THEN 0 ELSE m.s + 2*d.kl END AS s,
+         CASE WHEN m.e=m.n THEN m.n ELSE m.e - 2*d.kr END AS e
+  FROM p1m3_sp m JOIN dprm d USING (doc_id)
+  WHERE (CASE WHEN m.s=0 THEN 0 ELSE m.s + 2*d.kl END)
+      < (CASE WHEN m.e=m.n THEN m.n ELSE m.e - 2*d.kr END)),
+p1m3 AS (SELECT DISTINCT doc_id, n,
+                UNNEST(generate_series(s, e-1)) AS p FROM p1m3_e),
+p1runs AS (
+  SELECT doc_id, MAX(n) AS n, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM p1m3) x GROUP BY doc_id, isl),
+kept1 AS (
+  SELECT doc_id, n, s, e FROM p1runs WHERE (e - s) BETWEEN 5 AND 5000),
+cov1 AS (
+  SELECT doc_id, MAX(n) AS n, SUM(e - s) AS masked
+  FROM kept1 GROUP BY doc_id),
+-- ==== pass-1 repair state, needed only for passes=2 docs ====
+rad1 AS (
+  SELECT c.doc_id,
+         GREATEST(2, CAST(FLOOR(2 + (CAST(c.masked AS DOUBLE)/c.n)*10*d.st)
+                          AS BIGINT)) AS radius
+  FROM cov1 c JOIN dprm d USING (doc_id) WHERE d.ps = 2),
+fills1 AS (
+  SELECT k.doc_id, u.p,
+    (SELECT g FROM pos WHERE pos.doc_id = k.doc_id AND pos.p = k.s - 1) AS L,
+    (SELECT g FROM pos WHERE pos.doc_id = k.doc_id AND pos.p = k.e) AS R,
+    k.s, k.e, r.radius
+  FROM kept1 k
+  JOIN rad1 r ON r.doc_id = k.doc_id
+  CROSS JOIN UNNEST(generate_series(k.s, k.e - 1)) AS u(p)),
+vals1 AS (
+  SELECT doc_id, p,
+    CASE
+      WHEN L IS NULL AND R IS NULL THEN NULL
+      WHEN L IS NULL THEN R
+      WHEN R IS NULL THEN L
+      WHEN LEAST(p - (s - 1), e - p) <= radius
+        THEN (L * (e - p) + R * (p - (s - 1))) // ((p - (s - 1)) + (e - p))
+      WHEN (p - (s - 1)) < (e - p) THEN L
+      WHEN (e - p) < (p - (s - 1)) THEN R
+      ELSE (L + R) // 2
+    END AS fill
+  FROM fills1),
+rep1 AS (  -- blended pass-1 state (float32 step-rounded, TRUNC toward 0 —
+           -- DuckDB FLOAT arithmetic is per-step float32, matching the
+           -- kernel's np.float32 blend exactly)
+  SELECT pos.doc_id, pos.p, pos.n,
+    CASE
+      WHEN v.doc_id IS NULL THEN pos.g
+      WHEN d.st = 1.0 THEN COALESCE(v.fill, pos.g)
+      ELSE CAST(TRUNC(
+             CAST(pos.g AS FLOAT)
+               * (CAST(1.0 AS FLOAT) - CAST(d.st AS FLOAT))
+             + CAST(COALESCE(v.fill, pos.g) AS FLOAT)
+               * CAST(d.st AS FLOAT)) AS BIGINT)
+    END AS val
+  FROM pos
+  JOIN dprm d ON d.doc_id = pos.doc_id AND d.ps = 2
+  JOIN cov1 a ON a.doc_id = pos.doc_id
+  LEFT JOIN vals1 v ON v.doc_id = pos.doc_id AND v.p = pos.p),
+-- ============================ PASS 2 (passes=2 docs) =====================
+raw2 AS (
+  SELECT r.doc_id, r.p, r.n FROM rep1 r
+  JOIN wm ON wm.doc_id = r.doc_id
+  JOIN dprm dp ON dp.doc_id = r.doc_id
+  WHERE ABS(r.val - wm.wm_token) < dp.tol AND r.val <= 250),
+p2m1_sp AS (
+  SELECT doc_id, MAX(n) AS n, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM raw2) x GROUP BY doc_id, isl),
+p2m1_e AS (
+  SELECT m.doc_id, m.n,
+         CASE WHEN m.s=0 THEN 0 ELSE m.s + d.kl END AS s,
+         CASE WHEN m.e=m.n THEN m.n ELSE m.e - d.kr END AS e
+  FROM p2m1_sp m JOIN dprm d USING (doc_id)
+  WHERE (CASE WHEN m.s=0 THEN 0 ELSE m.s + d.kl END)
+      < (CASE WHEN m.e=m.n THEN m.n ELSE m.e - d.kr END)),
+p2m1 AS (
+  SELECT DISTINCT m.doc_id, m.n,
+         UNNEST(generate_series(GREATEST(m.s - d.kr, 0),
+                                LEAST(m.e + d.kl, m.n) - 1)) AS p
+  FROM p2m1_e m JOIN dprm d USING (doc_id)),
+p2m2_sp AS (
+  SELECT doc_id, MAX(n) AS n, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM p2m1) x GROUP BY doc_id, isl),
+p2m2_d AS (
+  SELECT DISTINCT m.doc_id, m.n,
+         UNNEST(generate_series(GREATEST(m.s - 2*d.kr, 0),
+                                LEAST(m.e + 2*d.kl, m.n) - 1)) AS p
+  FROM p2m2_sp m JOIN dprm d USING (doc_id)),
+p2m3_sp AS (
+  SELECT doc_id, MAX(n) AS n, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p, n,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM p2m2_d) x GROUP BY doc_id, isl),
+p2m3_e AS (
+  SELECT m.doc_id, m.n,
+         CASE WHEN m.s=0 THEN 0 ELSE m.s + 2*d.kl END AS s,
+         CASE WHEN m.e=m.n THEN m.n ELSE m.e - 2*d.kr END AS e
+  FROM p2m3_sp m JOIN dprm d USING (doc_id)
+  WHERE (CASE WHEN m.s=0 THEN 0 ELSE m.s + 2*d.kl END)
+      < (CASE WHEN m.e=m.n THEN m.n ELSE m.e - 2*d.kr END)),
+p2m3 AS (SELECT DISTINCT doc_id, n,
+                UNNEST(generate_series(s, e-1)) AS p FROM p2m3_e),
+p2runs AS (
+  SELECT doc_id, MIN(p) AS s, MAX(p)+1 AS e FROM (
+    SELECT doc_id, p,
+           p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+    FROM p2m3) x GROUP BY doc_id, isl),
+act2 AS (SELECT DISTINCT doc_id FROM p2runs
+         WHERE (e - s) BETWEEN 5 AND 5000)
+SELECT d.doc_id, d.source, dp.doc_type,
+       ROUND(COALESCE(CAST(c.masked AS DOUBLE) / c.n, 0.0), 6) AS coverage,
+       CAST(CASE WHEN c.doc_id IS NULL THEN 0
+                 WHEN dp.ps = 2 AND a2.doc_id IS NOT NULL THEN 2
+                 ELSE 1 END AS INT) AS pass_count
+FROM documents d
+JOIN dprm dp ON dp.doc_id = d.doc_id
+LEFT JOIN cov1 c ON c.doc_id = d.doc_id
+LEFT JOIN act2 a2 ON a2.doc_id = d.doc_id
+""")
 def q37(spark, sf_dir):
-    """J2 + A10-A14 end-to-end (rows-only): per-source classified parameters
-    broadcast onto the rows, kernel runs with per-row params.
-
-    Deliberately the ONE remaining rows-only entry: the scanned/mixed
-    profiles blend at inpaint_strength 1.3/1.1 (< BLEND_FULL_STRENGTH), and
-    the kernel's blend is float32 step-rounded arithmetic
-    (watermark_remover.py:168-176) — DuckDB evaluates FLOAT expressions in
-    double, so a faithful SQL oracle would risk off-by-one false mismatches
-    at integer truncation boundaries. Exact per-token parity is covered by
-    tests/test_engine_parity.py instead; every other kernel query
-    (q40/q41/q42/q47/q48/q49/q50) is driver-hashed."""
+    """J2 + A10-A14 end-to-end: per-source classified parameters broadcast
+    onto the rows, kernel runs with per-row params — now FULLY driver-hashed
+    (the last rows-only entry upgraded). The oracle composes q42's
+    classification CTEs (per-source doc_type), the tuned-param dim, and a
+    PARAMETRIZED unroll of the 2-pass repair: morphology offsets (kl, kr)
+    come from each source's kernel_size, the raw mask uses its
+    color_tolerance, and the pass-1 state is the float32 STEP-ROUNDED BLEND
+    (watermark_remover.py:168-176) — expressible because DuckDB FLOAT
+    arithmetic is per-step float32 exactly like np.float32 (probed: 70/70
+    blend cases bit-equal, incl. negative truncation). pass_count needs
+    only pass-2 DETECTION over the blended state, so no second fill is
+    unrolled. The 'scanned' profile (kernel_size 5) is provably
+    unreachable on printable-ASCII text (color discreteness >= 94 forces
+    e >= 28.2 while clean = 0 needs Laplacian variance >> the sharp < 9
+    bound), but the SQL stays generic in (kl, kr) regardless; kernel-side
+    k=5 parity is covered by the parameter-sweep kernel tests."""
     from ..operators.repair import repair_with_profiles
     from ..params import DEFAULT_PARAMS
     df = _char_tokens(spark, sf_dir).withColumn("seq_no", F.lit(0).cast("long"))
