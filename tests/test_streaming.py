@@ -741,6 +741,36 @@ def test_join_free_chain_matches_joined_chain(spark, tmp_path):
     assert outs["joined"] == outs["jfree"] and len(outs["jfree"]) == 24
 
 
+def test_join_free_chain_has_single_stateful_operator(spark, tmp_path):
+    """Plan shape of the join-free chain: exactly ONE stateful operator
+    (the shard-keyed detect) and NO stream-stream join — the whole point
+    is that neither stream buffers in join state."""
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.pipeline import (
+        repair_joined)
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.state_coarse import (
+        detect_stream_stateful_coarse)
+    d = str(tmp_path / "seq")
+    write_batches(spark, [sequences_df(spark, 4, seed=5)], d)
+    iso = spark.newSession()
+    iso.conf.set(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+        "false")
+    stream = file_stream(iso, d)
+    enriched = detect_stream_stateful_coarse(stream, packed=True,
+                                             with_tokens=True)
+    out = repair_joined(enriched)
+    q = (out.writeStream.format("noop")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.processAllAvailable()
+    import json as _json
+    prog = _json.loads(q.lastProgress.json) if q.lastProgress else {}
+    q.stop()
+    n_state = (prog.get("stateOperators") or [])
+    assert len(n_state) == 1, f"expected 1 stateful operator, got {n_state}"
+    assert "symmetricHashJoin" not in _json.dumps(prog)
+
+
 def test_stateful_detect_packed_masks_match_unpacked(spark, tmp_path):
     """X5/X5c packed output (mask_bin, the X6 wire format): unpacking the
     bit-packed masks bit-for-bit reproduces the array<boolean> output, for
