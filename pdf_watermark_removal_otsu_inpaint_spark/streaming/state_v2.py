@@ -88,9 +88,12 @@ class CoarseDetectProcessor(StatefulProcessor):
     horizon — by which time every doc in its dict has lapsed too."""
 
     def __init__(self, params: EngineParams = DEFAULT_PARAMS,
-                 horizon_ms: int = STATE_TTL_MS):
+                 horizon_ms: int = STATE_TTL_MS,
+                 packed: bool = False, with_tokens: bool = False):
         self.p = params
         self.horizon_ms = horizon_ms
+        self.packed = packed
+        self.with_tokens = with_tokens
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self.handle = handle
@@ -113,7 +116,9 @@ class CoarseDetectProcessor(StatefulProcessor):
                 last_ms = max(
                     last_ms,
                     int(pdf["event_ts"].max().value // 1_000_000))
-            out, docs = detect_source_batch(pdf, docs, self.p)
+            out, docs = detect_source_batch(pdf, docs, self.p,
+                                            packed=self.packed,
+                                            with_tokens=self.with_tokens)
             yield out
         wm_ms = timerValues.getCurrentWatermarkInMs()
         if wm_ms > 0:   # per-doc expiry, same timing as the legacy op
@@ -159,18 +164,32 @@ def detect_stream_stateful_v2(seq, params: EngineParams = DEFAULT_PARAMS,
 def detect_stream_stateful_coarse_v2(seq,
                                      params: EngineParams = DEFAULT_PARAMS,
                                      watermark: str = "10 minutes",
-                                     n_shards: int = 64):
+                                     n_shards: int = 64,
+                                     packed: bool = False,
+                                     with_tokens: bool = False):
     """X5c on the v2 state API: coarse-keyed stateful detect stream (see
     CoarseDetectProcessor). Output-equivalent to both the legacy coarse op
-    and the fine-keyed v1/v2 ops."""
+    and the fine-keyed v1/v2 ops; packed / with_tokens select the same
+    bit-packed and join-free wire formats as the legacy op (shared
+    assemble_detect_output, so the schemas cannot diverge)."""
     from pyspark.sql import functions as F
+
+    from .state import (DETECT_STATE_OUTPUT_JOINFREE,
+                        DETECT_STATE_OUTPUT_PACKED)
+    if with_tokens and not packed:
+        raise ValueError("with_tokens requires packed=True "
+                         "(the join-free wire format)")
+    out_schema = (DETECT_STATE_OUTPUT_JOINFREE if with_tokens
+                  else DETECT_STATE_OUTPUT_PACKED if packed
+                  else OUTPUT_SCHEMA)
     _rocksdb(seq)
     return (seq.withWatermark("event_ts", watermark)
             .withColumn("_shard", F.pmod(F.xxhash64("doc_id"),
                                          F.lit(n_shards)))
             .groupBy("source", "_shard")
             .transformWithStateInPandas(
-                CoarseDetectProcessor(params),
-                outputStructType=OUTPUT_SCHEMA,
+                CoarseDetectProcessor(params, packed=packed,
+                                      with_tokens=with_tokens),
+                outputStructType=out_schema,
                 outputMode="append",
                 timeMode="eventTime"))

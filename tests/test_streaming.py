@@ -853,8 +853,12 @@ def test_stateful_coarse_v2_matches_coarse_v1(spark, tmp_path):
          r("docC", amb_a, "web", 15, 2)],
     ]
     outs = []
-    for tag, fn in (("xc1", detect_stream_stateful_coarse),
-                    ("xc2", detect_stream_stateful_coarse_v2)):
+    for tag, fn in (
+            ("xc1", detect_stream_stateful_coarse),
+            ("xc2", detect_stream_stateful_coarse_v2),
+            # packed wire format on the v2 API too (shared assembler)
+            ("xc2p", lambda s: detect_stream_stateful_coarse_v2(
+                s, packed=True))):
         d = str(tmp_path / f"seq_{tag}")
         write_batches(spark, [spark.createDataFrame(b, SEQ_SCHEMA)
                               for b in batches], d)
@@ -863,13 +867,20 @@ def test_stateful_coarse_v2_matches_coarse_v1(spark, tmp_path):
              .format("memory").queryName(f"st_{tag}").start())
         q.processAllAvailable()
         q.stop()
-        outs.append({(r.source, r.doc_id, r.seq_no):
-                     (r.wm_token, r.from_state, round(r.coverage, 9),
-                      list(r.mask))
-                     for r in spark.sql(f"SELECT * FROM st_{tag}").collect()})
-    xc1, xc2 = outs
+        got = {}
+        for r in spark.sql(f"SELECT * FROM st_{tag}").collect():
+            if hasattr(r, "mask_bin"):
+                m = np.unpackbits(np.frombuffer(bytes(r.mask_bin),
+                                                dtype=np.uint8),
+                                  count=n).astype(bool).tolist()
+            else:
+                m = list(r.mask)
+            got[(r.source, r.doc_id, r.seq_no)] = (
+                r.wm_token, r.from_state, round(r.coverage, 9), m)
+        outs.append(got)
+    xc1, xc2, xc2p = outs
     assert len(xc1) == sum(len(b) for b in batches)
-    assert xc1 == xc2
+    assert xc1 == xc2 == xc2p
     assert xc2[("web", "docA", 1)][0] == 200 and xc2[("web", "docA", 1)][1]
 
 
