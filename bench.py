@@ -517,18 +517,21 @@ def e1x_child(cpus: int) -> None:
         _sh.rmtree(scratch, ignore_errors=True)
 
 
-def run_e1x_ladder() -> dict:
-    """North-rule evidence on the EXACTLY-ONCE job itself: the metric is
-    'sustained sequences/sec (exactly-once ...) with scaling efficiency
-    >= 0.8 from N to 4N executors', so this ladder runs the complete
-    streamed sink job (not just the kernel) at 2 vs 8 pinned cores on the
-    same input, interleaved A/B with median-per-leg — the identical noise
-    protocol as the kernel ladder."""
+def _run_interleaved_ladder(child_flag: str, n_trials: int,
+                            timeout_s: int, protocol: str,
+                            cleanup=None) -> dict:
+    """Shared N -> 4N ladder driver: two persistent CPU-pinned children
+    (one per leg), trials interleaved A/B/A/B..., MEDIAN per leg + relative
+    spread, efficiency = ratio of medians. A lucky or unlucky single trial
+    cannot move a median; a host interference window spans both legs. A
+    watchdog kills a hung child (failing the ladder rather than stalling
+    the run), and `cleanup` runs in a finally either way — SIGKILLed
+    children never get to run their own atexit/finally cleanup."""
     have_taskset = shutil.which("taskset") is not None
     legs = ((2, "0-1"), (8, "0-7"))
     procs = {}
     for cpus, cpuset in legs:
-        cmd = [sys.executable, os.path.abspath(__file__), "--e1x-child",
+        cmd = [sys.executable, os.path.abspath(__file__), child_flag,
                str(cpus)]
         if have_taskset:
             cmd = ["taskset", "-c", cpuset] + cmd
@@ -536,83 +539,7 @@ def run_e1x_ladder() -> dict:
             cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL, text=True, bufsize=1)
 
-    def next_json(p, timeout_s=900):
-        import threading
-        timer = threading.Timer(timeout_s, p.kill)
-        timer.start()
-        try:
-            while True:
-                line = p.stdout.readline()
-                if not line:
-                    raise RuntimeError("e1x ladder child died or timed out")
-                if line.startswith("{"):
-                    return json.loads(line)
-        finally:
-            timer.cancel()
-
-    try:
-        for cpus, _ in legs:
-            next_json(procs[cpus])
-        trials = {cpus: [] for cpus, _ in legs}
-        for _ in range(E1X_LADDER_TRIALS):
-            for cpus, _ in legs:
-                p = procs[cpus]
-                p.stdin.write("GO\n")
-                p.stdin.flush()
-                trials[cpus].append(next_json(p)["sec"])
-        for cpus, _ in legs:
-            p = procs[cpus]
-            p.stdin.close()
-            try:
-                p.wait(timeout=120)
-            except subprocess.TimeoutExpired:
-                p.kill()
-                p.wait()
-    except BaseException:
-        for p in procs.values():
-            p.kill()
-        raise
-    out = {}
-    for cpus, _ in legs:
-        med = _median(trials[cpus])
-        out[cpus] = {"sec": round(med, 3),
-                     "seqs_per_sec": round(LADDER_ROWS / med, 1),
-                     "trials_sec": [round(x, 2) for x in trials[cpus]],
-                     "spread": round(
-                         (max(trials[cpus]) - min(trials[cpus])) / med, 3),
-                     "pinned": have_taskset}
-    out["rows"] = LADDER_ROWS
-    out["trials"] = E1X_LADDER_TRIALS
-    out["protocol"] = "interleaved A/B rounds, median per leg, warm engine"
-    out["efficiency_2_to_8"] = round(
-        (out[2]["sec"] / out[8]["sec"]) / (8 / 2), 3)
-    return out
-
-
-def run_north_ladder() -> dict:
-    """N -> 4N executors (2 -> 8 pinned cores) on the 8x input: the primary
-    north-rule scaling evidence. Sized below the host's DRAM saturation knee
-    so it measures the JOB's scalability, not the VM's memory wall.
-
-    Noise-robust protocol: both legs live as persistent pinned children;
-    trials run interleaved A/B/A/B... (LADDER_TRIALS rounds), each leg
-    reports the MEDIAN of its trials plus the relative spread, and the
-    efficiency is the ratio of medians. A lucky or unlucky single trial
-    cannot move the median; an interference window spans both legs."""
-    have_taskset = shutil.which("taskset") is not None
-    legs = ((2, "0-1"), (8, "0-7"))
-    procs = {}
-    for cpus, cpuset in legs:
-        cmd = [sys.executable, os.path.abspath(__file__), "--ladder-child",
-               str(cpus)]
-        if have_taskset:
-            cmd = ["taskset", "-c", cpuset] + cmd
-        procs[cpus] = subprocess.Popen(
-            cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL, text=True, bufsize=1)
-
-    def next_json(p, timeout_s=600):
-        # watchdog: a hung child must fail the ladder, not stall the run
+    def next_json(p):
         import threading
         timer = threading.Timer(timeout_s, p.kill)
         timer.start()
@@ -621,7 +548,7 @@ def run_north_ladder() -> dict:
                 line = p.stdout.readline()
                 if not line:
                     raise RuntimeError(
-                        "ladder child died or timed out")
+                        f"{child_flag} child died or timed out")
                 if line.startswith("{"):
                     return json.loads(line)
         finally:
@@ -631,7 +558,7 @@ def run_north_ladder() -> dict:
         for cpus, _ in legs:        # wait for both warmups before trial 1
             next_json(procs[cpus])
         trials = {cpus: [] for cpus, _ in legs}
-        for _ in range(LADDER_TRIALS):  # interleave: one trial/leg/round
+        for _ in range(n_trials):   # interleave: one trial/leg/round
             for cpus, _ in legs:
                 p = procs[cpus]
                 p.stdin.write("GO\n")
@@ -649,6 +576,9 @@ def run_north_ladder() -> dict:
         for p in procs.values():
             p.kill()
         raise
+    finally:
+        if cleanup is not None:
+            cleanup()
     out = {}
     for cpus, _ in legs:
         med = _median(trials[cpus])
@@ -659,11 +589,42 @@ def run_north_ladder() -> dict:
                          (max(trials[cpus]) - min(trials[cpus])) / med, 3),
                      "pinned": have_taskset}
     out["rows"] = LADDER_ROWS
-    out["trials"] = LADDER_TRIALS
-    out["protocol"] = "interleaved A/B rounds, median per leg"
+    out["trials"] = n_trials
+    out["protocol"] = protocol
     out["efficiency_2_to_8"] = round(
         (out[2]["sec"] / out[8]["sec"]) / (8 / 2), 3)
     return out
+
+
+def run_e1x_ladder() -> dict:
+    """North-rule evidence on the EXACTLY-ONCE job itself: the metric is
+    'sustained sequences/sec (exactly-once ...) with scaling efficiency
+    >= 0.8 from N to 4N executors', so this ladder runs the complete
+    streamed sink job (not just the kernel) at 2 vs 8 pinned cores on the
+    same input — the identical interleaved-median noise protocol as the
+    kernel ladder. Scratch (tmpfs) dirs are purged by the PARENT even when
+    a watchdog SIGKILL prevents the child's own cleanup (RAM-backed leaks
+    would otherwise distort the host-ceiling probe that runs next)."""
+    import shutil as _sh
+
+    def purge_scratch():
+        for cpus in (2, 8):
+            _sh.rmtree(f"{E1X_SCRATCH}_{cpus}", ignore_errors=True)
+
+    purge_scratch()      # stale dirs from a previous killed run
+    return _run_interleaved_ladder(
+        "--e1x-child", E1X_LADDER_TRIALS, 900,
+        "interleaved A/B rounds, median per leg, warm engine",
+        cleanup=purge_scratch)
+
+
+def run_north_ladder() -> dict:
+    """N -> 4N executors (2 -> 8 pinned cores) on the 8x input: the primary
+    north-rule scaling evidence. Sized below the host's DRAM saturation knee
+    so it measures the JOB's scalability, not the VM's memory wall."""
+    return _run_interleaved_ladder(
+        "--ladder-child", LADDER_TRIALS, 600,
+        "interleaved A/B rounds, median per leg")
 
 
 def _host_worker(kind, nrows, q, cpu, barrier):
@@ -891,8 +852,21 @@ def main():
         compact["efficiency_8_to_32"] = result["scaling"][
             "efficiency_8_to_32"]
     compact["full_ledger"] = "BENCH_FULL.json"
+    # size-bound the line by TRIMMING optional keys, never by aborting: an
+    # oversize assert after a completed run would cost the driver line AND
+    # the ledger — strictly worse than the truncation this guards against
     line = json.dumps(compact)
-    assert len(line) < 1800, f"compact bench line too big: {len(line)}B"
+    for drop in ("north_seqs_per_sec", "hist_explode_sec",
+                 "hist_bincount_sec", "stateful_detect_v1_seqs_per_sec",
+                 "stateful_detect_coarse_seqs_per_sec",
+                 "chain_docrow_fine_seqs_per_sec"):
+        if len(line) < 1800:
+            break
+        compact.pop(drop, None)
+        line = json.dumps(compact)
+    if len(line) >= 1800:
+        print(f"WARNING: compact bench line {len(line)}B after trimming",
+              file=sys.stderr)
     print(line, flush=True)
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
         json.dump(result, f, indent=1)

@@ -34,6 +34,23 @@ def _dot(x, y):
 _HASH_BUCKETS = 1 << 20
 
 
+def _train_sample_plan(emb: DataFrame, sample_rows: int, seed: int,
+                       total: int) -> DataFrame:
+    """The EXACT sampling plan train_centroids executes, factored out so
+    tests can assert its shape (the heap must sit above the hash-threshold
+    filter — the full table sees only a predicate)."""
+    h = F.pmod(F.xxhash64(F.col("vec_id").cast("string"), F.lit(seed)),
+               F.lit(_HASH_BUCKETS))
+    cand = emb.select("vec_id", "embedding")
+    if total > 2 * sample_rows:
+        thresh = int(np.ceil(_HASH_BUCKETS
+                             * min(1.0, 4.0 * sample_rows / total)))
+        cand = cand.where(h < F.lit(thresh))
+    return (cand.orderBy(F.xxhash64(F.col("vec_id").cast("string"),
+                                    F.lit(seed)), F.col("vec_id"))
+            .limit(sample_rows))
+
+
 def train_centroids(emb: DataFrame, n_cells: int = 16, iters: int = 5,
                     sample_rows: int = 4096, seed: int = 42) -> np.ndarray:
     """Seeded k-means on a bounded deterministic sample (spherical: vectors
@@ -51,17 +68,7 @@ def train_centroids(emb: DataFrame, n_cells: int = 16, iters: int = 5,
     total = emb.count()   # parquet/Iceberg count: footer metadata, no scan
     if total == 0:
         raise ValueError("train_centroids: embedding table is empty")
-    h = F.pmod(F.xxhash64(F.col("vec_id").cast("string"), F.lit(seed)),
-               F.lit(_HASH_BUCKETS))
-    if total > 2 * sample_rows:
-        thresh = int(np.ceil(_HASH_BUCKETS
-                             * min(1.0, 4.0 * sample_rows / total)))
-        cand = emb.select("vec_id", "embedding").where(h < F.lit(thresh))
-    else:
-        cand = emb.select("vec_id", "embedding")
-    sample = (cand.orderBy(F.xxhash64(F.col("vec_id").cast("string"),
-                                      F.lit(seed)), F.col("vec_id"))
-              .limit(sample_rows).collect())
+    sample = _train_sample_plan(emb, sample_rows, seed, total).collect()
     X = np.array([r.embedding for r in sample], dtype=np.float64)
     if X.shape[0] == 0:
         raise ValueError(

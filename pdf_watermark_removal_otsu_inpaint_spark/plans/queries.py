@@ -1269,12 +1269,12 @@ SELECT d.doc_id, d.source, CAST(length(d.text) AS BIGINT) AS n_out,
        CAST((CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END)
           + (CASE WHEN a2.doc_id IS NULL THEN 0 ELSE 1 END) AS INT)
          AS pass_count,
-       s.token_sum
+       CAST(COALESCE(s.token_sum, 0) AS BIGINT) AS token_sum
 FROM documents d
 LEFT JOIN wm ON wm.doc_id = d.doc_id
 LEFT JOIN cov1 c ON c.doc_id = d.doc_id
 LEFT JOIN act2 a2 ON a2.doc_id = d.doc_id
-JOIN sums s ON s.doc_id = d.doc_id
+LEFT JOIN sums s ON s.doc_id = d.doc_id
 """)
 def q40(spark, sf_dir):
     """Full fused tokenize+detect+repair pipeline (K1+K2 MULTI-PASS) over
@@ -1852,12 +1852,16 @@ cpeak AS (
               ELSE 255.0 END AS sd
   FROM cdark d JOIN cpk ON cpk.source = d.source AND d.g // 5 = cpk.bin
   GROUP BY d.source),
-a11 AS (
+a11 AS (  -- anchored on the documents' sources (not ctoks) so a source
+          -- whose first doc is EMPTY text still classifies: the COALESCE
+          -- defaults below mirror the kernel's empty/short-input paths
+          -- (nq=0 -> disc 100; no dark -> conc 50; n<3 -> sharp 0,
+          -- clean 100 -> e=65 -> mixed)
   SELECT s.source,
          CASE WHEN COALESCE(dc.nd, 0) < 100 THEN 50.0
               ELSE GREATEST(0.0, 100.0 - COALESCE(pe.sd, 255.0) * 2.5)
          END AS conc
-  FROM (SELECT DISTINCT source FROM ctoks) s
+  FROM (SELECT DISTINCT source FROM documents) s
   LEFT JOIN darkcnt dc USING (source) LEFT JOIN cpeak pe USING (source)),
 clap AS (
   SELECT source,
@@ -1879,11 +1883,12 @@ a13 AS (
          100.0 - (AVG(ABS(CAST(g - m3 AS DOUBLE))) / 255.0) * 1000.0) AS clean
   FROM cmed GROUP BY source),
 cscored AS (
-  SELECT a10.source,
-         a10.disc * 0.3 + a11.conc * 0.3 + a12.sharp * 0.2
-         + a13.clean * 0.2 AS e
-  FROM a10 JOIN a11 USING (source) JOIN a12 USING (source)
-  JOIN a13 USING (source)),
+  SELECT a11.source,
+         COALESCE(a10.disc, 100.0) * 0.3 + a11.conc * 0.3
+         + COALESCE(a12.sharp, 0.0) * 0.2
+         + COALESCE(a13.clean, 100.0) * 0.2 AS e
+  FROM a11 LEFT JOIN a10 USING (source) LEFT JOIN a12 USING (source)
+  LEFT JOIN a13 USING (source)),
 typed AS (
   SELECT source,
          CASE WHEN e > 70 AND (100.0 - e) < 30 THEN 'electronic'
@@ -2313,8 +2318,9 @@ def q46(spark, sf_dir):
 
 def _q47_oracle() -> str:
     """q47's oracle reuses q40's full unrolled 2-pass SQL as a CTE and
-    aggregates the reference's per-page status rule over it — built lazily
-    so registration order inside this module can't matter."""
+    aggregates the reference's per-page status rule over it. Evaluated AT
+    DECORATION TIME, so this block must stay below q40's registration (a
+    KeyError at import is the failure mode if reordered)."""
     return f"""
 WITH q40 AS ({ORACLES['q40_repair_char_tokens']})
 SELECT source,

@@ -59,10 +59,12 @@ class ArtifactManager:
         p = Path(name)
         if p.is_absolute() and p.exists():     # custom artifact passthrough
             return p
-        # registry names are plain filenames: a separator or '..' would
-        # resolve cache lookups outside cache_dir and break mkstemp's prefix
-        if (os.sep in name or (os.altsep and os.altsep in name)
-                or ".." in name):
+        # registry names are plain filenames: a separator or the '..'
+        # component would resolve cache lookups outside cache_dir and break
+        # mkstemp's prefix. Path(name).name != name catches exactly the
+        # path-escaping forms while allowing dots INSIDE a filename
+        # (e.g. 'weights..v2.bin' is a legal plain name).
+        if not name or Path(name).name != name or name == "..":
             raise ValueError(
                 f"Invalid artifact name {name!r}: path separators and '..' "
                 "are not allowed (absolute paths to existing files are the "

@@ -79,6 +79,9 @@ def test_path_traversal_names_rejected(tmp_path):
         ArtifactManager)
     mgr = ArtifactManager(registry={}, cache_dir=tmp_path)
     import pytest
-    for bad in ("../evil", "a/b", "x/../y"):
+    for bad in ("../evil", "a/b", "x/../y", "..", ""):
         with pytest.raises(ValueError, match="Invalid artifact name"):
             mgr.get_path(bad)
+    # dots INSIDE a plain filename are legal (reaches the registry check)
+    with pytest.raises(ValueError, match="Unknown artifact"):
+        mgr.get_path("weights..v2.bin")

@@ -68,27 +68,32 @@ def test_every_vector_assigned_exactly_once(emb):
     assert assign.where(F.col("cell").isNull()).count() == 0
 
 
-def test_train_plan_has_no_global_takeordered(emb):
+def test_train_sample_heap_sits_above_threshold_filter(emb):
     """The training sample is a hash-threshold filter + heap over the
-    filtered subset — the FULL table is touched only by a predicate, never
-    by a TakeOrdered heap-sift of every row (10^12-row concern). Verified
-    on a table large enough to engage the threshold path."""
+    filtered subset — the FULL table is touched only by a predicate, the
+    TakeOrdered heap runs strictly ABOVE the filter (10^12-row concern).
+    Asserted on the EXACT plan train_centroids executes (via its factored
+    _train_sample_plan), on a table large enough to engage the threshold."""
+    from pdf_watermark_removal_otsu_inpaint_spark.operators.ivf import (
+        _train_sample_plan, train_centroids)
     big = emb
-    for _ in range(4):                       # 500 -> 8000 rows (> 2x4096)
+    for _ in range(5):                       # 500 -> 16000 rows (> 2x4096)
         big = big.unionByName(big.withColumn(
             "vec_id", F.col("vec_id") + F.lit(1_000_000)))
-    sample_plan = (big.select("vec_id", "embedding")
-                   .where(F.pmod(F.xxhash64(F.col("vec_id").cast("string"),
-                                            F.lit(42)), F.lit(1 << 20))
-                          < F.lit(1000)))
-    # the exact plan train_centroids builds: filter, then TakeOrdered over
-    # the filtered subset only
-    from pdf_watermark_removal_otsu_inpaint_spark.operators.ivf import (
-        train_centroids)
+    total = big.count()
+    assert total > 2 * 4096
+    plan = _train_sample_plan(big, 4096, 42, total)
+    p = plan._jdf.queryExecution().executedPlan().toString()
+    # physical tree prints top-down: the heap (TakeOrderedAndProject) must
+    # appear BEFORE (= above) the hash-threshold Filter that bounds it
+    heap_at = p.find("TakeOrdered")
+    filt_at = p.find("Filter")
+    assert heap_at >= 0 and filt_at >= 0, p
+    assert heap_at < filt_at, "heap is not above the threshold filter"
+    assert "xxhash64" in p[filt_at:]
+    # and the full train still works on the same table
     cents = train_centroids(big, n_cells=8, seed=42)
     assert cents.shape == (8, 64)
-    p = sample_plan._jdf.queryExecution().executedPlan().toString()
-    assert "Filter" in p and "TakeOrdered" not in p
 
 
 def test_small_table_caps_n_cells(spark, emb):
