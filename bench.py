@@ -807,25 +807,37 @@ def main():
     spark.stop()
 
     if not FAST:
+        _emit_compact(result)       # checkpoint: local[32] sections done
         scaling = run_scaling()
         result["scaling"] = scaling
+        _emit_compact(result)
         north = run_north_ladder()
         result["scaling_n_to_4n"] = north
         # the north-rule criterion (N -> 4N executors, same job+input):
         result["scaling_efficiency_north"] = north["efficiency_2_to_8"]
+        _emit_compact(result)
         e1x_ladder = run_e1x_ladder()
         result["scaling_n_to_4n_exactly_once"] = e1x_ladder
         result["scaling_efficiency_north_e1x"] = \
             e1x_ladder["efficiency_2_to_8"]
+        _emit_compact(result)
         ceiling = host_ceiling_probe()
         result["host_ceiling"] = ceiling
         _write_bench_md(result, scaling, north, ceiling)
 
-    # stdout gets ONLY the compact summary, sized to survive the driver's
-    # bounded tail capture; the full ledger goes to a file AFTERWARD so a
-    # ledger-write failure can never cost the driver line. NB: no
-    # sort_keys — the scaling dicts key by int core counts alongside str
-    # metric names, and sorted() across those raises.
+    _emit_compact(result)           # the authoritative final line
+    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+        json.dump(result, f, indent=1)
+
+
+def _emit_compact(result) -> None:
+    """Print one complete compact-summary JSON line for the sections done
+    SO FAR. Called after every expensive section AND at the very end: the
+    driver parses the LAST JSON line of its bounded stdout tail, so if an
+    external timeout kills the run mid-ladder, the latest checkpoint line
+    still parses (round 3 lost its whole ledger to exactly this failure
+    shape). NB: no sort_keys — the scaling dicts key by int core counts
+    alongside str metric names, and sorted() across those raises."""
     compact = {k: result[k] for k in ("metric", "unit", "sf", "value",
                                       "queries")}
     for k in ("scaling_efficiency_north",
@@ -868,8 +880,6 @@ def main():
         print(f"WARNING: compact bench line {len(line)}B after trimming",
               file=sys.stderr)
     print(line, flush=True)
-    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
-        json.dump(result, f, indent=1)
 
 
 def _write_bench_md(result, scale, north, ceiling):
