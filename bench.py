@@ -1083,7 +1083,8 @@ def _write_bench_md(result, scale, north, ceiling):
         "(consecutive identical trials observed 2x apart). Throughput legs "
         "report best-of-N from dedicated CPU-pinned processes; the "
         "north-rule ladder uses interleaved median-of-N (see above), which "
-        "is the noise-robust estimator for a RATIO of two legs.",
+        "is the noise-robust estimator for a RATIO of two legs."
+        "The exactly-once ladder places sink output and shuffle dirs on tmpfs: a real cluster's sink/shuffle I/O lands on per-node disks that scale with the cluster, while this box has ONE shared ~400 MB/s disk that both legs would bottleneck on — measured on it, the ratio reflects the disk, not the job (absolute disk-backed throughput is what the headline exactly-once leg reports).",
     ]
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
