@@ -145,3 +145,52 @@ def test_bucketed_join_is_colocated(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE seq_b")
         spark.sql("DROP TABLE masks_b")
+
+
+def test_aqe_splits_hot_doc_partition(spark):
+    """X9's second half (north_star: 'AQE-style split of hot doc_id
+    partitions'): a heavy-hitter doc_id holding 90% of the fact side is
+    SPLIT by adaptive skew-join — the final plan shows
+    SortMergeJoin(skew=true) over a skewed AQEShuffleRead — with results
+    identical to the unskewed computation. Thresholds are lowered to make
+    the 20k-row fixture skew-eligible; the payload column must survive
+    into the aggregate or column pruning erases the skew bytes (the exact
+    trap a naive count(*) probe falls into)."""
+    from pyspark.sql import functions as F
+    keys = ("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    prev = {k: spark.conf.get(k) for k in keys}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    try:
+        pay = F.repeat(F.sha2(F.col("id").cast("string"), 256), 4)
+        seq = spark.range(0, 20000).select(
+            F.when(F.col("id") % 10 < 9, F.lit("doc-hot"))
+             .otherwise(F.concat(F.lit("doc"), F.col("id")))
+             .alias("doc_id"),
+            F.col("id").alias("seq_no"), pay.alias("payload"))
+        dim = spark.range(0, 2001).select(
+            F.when(F.col("id") == 2000, F.lit("doc-hot"))
+             .otherwise(F.concat(F.lit("doc"), F.col("id")))
+             .alias("doc_id"),
+            F.lit(1).alias("meta"))
+        agg = (seq.join(dim, "doc_id")
+               .groupBy().agg(F.count("*").alias("n"),
+                              F.sum(F.length("payload")).alias("bytes")))
+        row = agg.collect()[0]
+        # 18000 hot + 200 matched cold rows; byte sum pins value parity
+        assert row.n == 18200
+        assert row.bytes == 18200 * 256
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "skewed" in plan  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
