@@ -450,7 +450,23 @@ def _tws_available(spark, tmp_path) -> bool:
         q.stop()
         return True
     except Exception:
-        return False
+        # the driver-side python worker init is OCCASIONALLY flaky in this
+        # image even when protobuf is fine (observed: same probe passes on
+        # retry within the same session) — one retry before skipping, so a
+        # transient crash doesn't silently drop the v2 parity coverage
+        try:
+            q = (spark.readStream.schema("k string, v int").parquet(d)
+                 .groupBy("k")
+                 .transformWithStateInPandas(
+                     P(), outputStructType="k string, c int",
+                     outputMode="append", timeMode="none")
+                 .writeStream.format("memory").queryName("tws_probe2")
+                 .outputMode("append").start())
+            q.processAllAvailable()
+            q.stop()
+            return True
+        except Exception:
+            return False
 
 
 def test_stateful_detect_v2_matches_v1(spark, tmp_path):
