@@ -82,11 +82,15 @@ def test_query_matches_oracle(spark, ddb, name):
                       f"{sn[mism[0]]} vs {on[mism[0]]}")
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_query_runs(spark, name):
-    df = QUERIES[name](spark, SF_DIR)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_every_registered_query_has_an_oracle():
+    """Since round 4 the rows-only set is EMPTY: all 50 registered queries
+    carry full DuckDB oracles (q37/q40/q47 were the last holdouts). This
+    replaces the old rows-only smoke test, whose parameter set is now
+    empty — a regression that reintroduces an oracle-less query fails
+    here loudly instead of silently skipping."""
+    assert set(QUERIES) == set(ORACLES), (
+        f"queries without oracles: {sorted(set(QUERIES) - set(ORACLES))}")
+    assert len(QUERIES) == 50
 
 
 def test_q24_zero_norm_vector_matches_oracle(spark, tmp_path):
