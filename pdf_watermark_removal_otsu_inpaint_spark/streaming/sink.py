@@ -61,7 +61,12 @@ class ExactlyOnceParquetSink:
         deduped.write.mode("overwrite").parquet(data_path)
 
         spark = batch_df.sparkSession
-        written = spark.read.parquet(data_path)
+        # explicit schema: skips a schema-inference job per micro-batch AND
+        # survives an EMPTY micro-batch (foreachBatch fires on no-data
+        # batches for watermark progress; a committer that writes only
+        # _SUCCESS would make schema inference fail after the data write
+        # but before the commit marker)
+        written = spark.read.schema(deduped.schema).parquet(data_path)
         agg_cols = [F.count("*").alias("rows_out")]
         if "coverage" in written.columns:
             agg_cols.append(F.round(F.sum("coverage"), 9).alias("coverage_sum"))

@@ -96,6 +96,40 @@ def test_train_sample_heap_sits_above_threshold_filter(emb):
     assert cents.shape == (8, 64)
 
 
+def test_recall_curve_with_multi_assignment(spark, emb, queries):
+    """The recall dials, measured: k-means++-seeded centroids plus
+    n_assign=3 multi-assignment lift recall@10 to >= 0.4 at n_probe=1 and
+    >= 0.9 at n_probe=8 on the near-uniform fixture (single-assignment
+    reads 0.24 / 0.82 — uniform data is the worst case for a partitioning
+    index, and storage-side redundancy is the standard recovery: the index
+    triples, candidates per probe triple, recall at a fixed probe count
+    roughly doubles). Determinism of the whole curve is pinned by the
+    seeded build."""
+    k = 10
+    truth = {(r.q_id, r.cand_id)
+             for r in brute_force_topk(emb, queries, k).collect()}
+    assign, cents = ivf_build(emb, n_cells=16, seed=42, n_assign=3)
+    assign = assign.cache()
+    try:
+        got1 = {(r.q_id, r.cand_id)
+                for r in ivf_search(assign, cents, queries, k, n_probe=1,
+                                    multi_assign=True).collect()}
+        got8 = {(r.q_id, r.cand_id)
+                for r in ivf_search(assign, cents, queries, k, n_probe=8,
+                                    multi_assign=True).collect()}
+    finally:
+        assign.unpersist()
+    r1 = len(truth & got1) / len(truth)
+    r8 = len(truth & got8) / len(truth)
+    assert r1 >= 0.4, f"recall@10 n_probe=1 {r1:.3f}"
+    assert r8 >= 0.9, f"recall@10 n_probe=8 {r8:.3f}"
+    # the multi-assigned index holds each vector in exactly n_assign cells
+    n = emb.count()
+    assert assign.count() == 3 * n
+    per_vec = assign.groupBy("vec_id").count()
+    assert per_vec.where(F.col("count") != 3).count() == 0
+
+
 def test_small_table_caps_n_cells(spark, emb):
     """n_cells > sample rows must degrade gracefully (tiny tables), and an
     empty table must raise a clear error, not an opaque rng.choice one."""
