@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 
 
 def lsh_candidate_pairs(sig: DataFrame, min_matches: int = 4,
-                        max_bucket: int = 64) -> DataFrame:
+                        max_bucket: int = 64,
+                        s1_filter=None) -> DataFrame:
     """MinHash-LSH candidate pairs with a HOT-BUCKET CEILING.
 
     sig(doc_id, i, mh) -> (a_id, b_id, matches >= min_matches). The
@@ -36,11 +37,18 @@ def lsh_candidate_pairs(sig: DataFrame, min_matches: int = 4,
     yields 0 pairs from this path instead of n^2 (and is exactly what
     exact-dedup (q20) catches first). The bucket-width window partitions
     by (i, mh) — the same keys the join shuffles on, so the guard rides
-    the join's own Exchange."""
+    the join's own Exchange.
+
+    `s1_filter`: optional Column predicate applied to the LEFT side only,
+    AFTER the bucket cap (bucket width must be measured over the full
+    signature table — capping a prefiltered side would under-count bucket
+    membership and let a degenerate bucket through). Used by callers that
+    restrict one side of the pair space (q21's doc_id % 20 probe slice)."""
     wide = F.count("*").over(Window.partitionBy("i", "mh"))
     kept = sig.withColumn("_bw", wide).where(F.col("_bw") <= max_bucket) \
               .drop("_bw")
-    s1 = kept.alias("s1")
+    s1 = (kept.where(s1_filter) if s1_filter is not None else kept) \
+        .alias("s1")
     s2 = kept.alias("s2")
     return (s1.join(s2, (F.col("s1.i") == F.col("s2.i"))
                     & (F.col("s1.mh") == F.col("s2.mh"))

@@ -560,11 +560,17 @@ params AS (SELECT i, [3,5,7,11,13,17,19,23][i+1] AS a, i + 1 AS b
 sig AS (
   SELECT h.doc_id, p.i, MIN((p.a * h.wh + p.b) % 1000000007) AS mh
   FROM hashed h CROSS JOIN params p GROUP BY h.doc_id, p.i),
+sigk AS (  -- q26's LSH hot-bucket ceiling, applied to the candidate stage
+           -- here too: the cap is measured over the FULL signature table,
+           -- the doc_id % 2 probe slice then restricts the left side only
+  SELECT doc_id, i, mh FROM (
+    SELECT doc_id, i, mh, COUNT(*) OVER (PARTITION BY i, mh) AS bw
+    FROM sig) s WHERE bw <= 64),
 cand AS (
   SELECT s1.doc_id AS a_id, s2.doc_id AS b_id
-  FROM sig s1 JOIN sig s2 ON s1.i = s2.i AND s1.mh = s2.mh
-                          AND s1.doc_id < s2.doc_id
-  WHERE s1.doc_id % 20 = 0
+  FROM sigk s1 JOIN sigk s2 ON s1.i = s2.i AND s1.mh = s2.mh
+                            AND s1.doc_id < s2.doc_id
+  WHERE s1.doc_id % 2 = 0
   GROUP BY 1, 2 HAVING COUNT(*) >= 4),
 sizes AS (SELECT doc_id, COUNT(*) AS nw FROM words GROUP BY doc_id),
 inter AS (
@@ -590,7 +596,13 @@ def q21(spark, sf_dir):
     a stopword can no longer fan a hot key across all doc pairs (the round-1
     scale-killer). At 100 TB the candidate count tracks the true-duplicate
     count, not |docs|^2. Word-set dedup happens IN-ROW (array_distinct
-    before the explode) — no distinct() shuffle."""
+    before the explode) — no distinct() shuffle. Candidate generation goes
+    through dedup.lsh_candidate_pairs so the LSH hot-bucket ceiling applies
+    here exactly as in q26/q52 — without it, one degenerate bucket keeps
+    the signature self-join quadratic (the doc_id % 2 probe slice only
+    divides ONE side); the slice rides in as the s1-side prefilter, applied
+    after the cap, mirrored 1:1 in the oracle's sigk CTE."""
+    from ..operators.dedup import lsh_candidate_pairs
     d = t(spark, sf_dir, "documents")
     words = d.select(
         "doc_id",
@@ -598,16 +610,9 @@ def q21(spark, sf_dir):
     sizes = words.groupBy("doc_id").agg(F.count("*").alias("nw"))
     sig = QUERIES["q25_minhash_signatures"](spark, sf_dir) \
         .withColumnRenamed("hash_i", "i").withColumnRenamed("minhash", "mh")
-    s1, s2 = sig.alias("s1"), sig.alias("s2")
-    cand = (s1.where(F.col("s1.doc_id") % 20 == 0)
-            .join(s2, (F.col("s1.i") == F.col("s2.i"))
-                  & (F.col("s1.mh") == F.col("s2.mh"))
-                  & (F.col("s1.doc_id") < F.col("s2.doc_id")))
-            .groupBy(F.col("s1.doc_id").alias("a_id"),
-                     F.col("s2.doc_id").alias("b_id"))
-            .agg(F.count("*").alias("matches"))
-            .where(F.col("matches") >= 4)
-            .select("a_id", "b_id"))
+    cand = lsh_candidate_pairs(
+        sig, min_matches=4, max_bucket=64,
+        s1_filter=F.col("doc_id") % 2 == 0).select("a_id", "b_id")
     wa, wb = words.alias("wa"), words.alias("wb")
     inter = (cand.join(wa, F.col("wa.doc_id") == F.col("a_id"))
              .join(wb, (F.col("wb.doc_id") == F.col("b_id"))
