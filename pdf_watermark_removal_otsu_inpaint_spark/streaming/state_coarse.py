@@ -83,13 +83,29 @@ def detect_source_batch(pdf: pd.DataFrame, docs: dict,
     flat = np.ascontiguousarray(flat, dtype=np.int32)
     lengths = np.diff(offsets)
 
-    seg_cached = [docs.get(pdf["doc_id"].iat[s]) for s in starts.tolist()]
+    # per-segment cache state: the dict GETS are inherent (one per doc in
+    # the batch); everything after them is array math — no per-document
+    # Python loop (that loop was the coarse chain's bottleneck at the
+    # one-doc-per-row shape: 12k iterations/batch).
+    doc_vals = pdf["doc_id"].to_numpy()
+    seg_docs = doc_vals[starts]
+    seg_cached = [docs.get(d) for d in seg_docs.tolist()]
+    has_cache = np.fromiter((c is not None for c in seg_cached),
+                            dtype=bool, count=len(seg_cached))
+    cache_tok = np.fromiter(
+        (c[0] if c is not None else -1 for c in seg_cached),
+        dtype=np.int32, count=len(seg_cached))
+    cache_ts = np.fromiter(
+        (c[1] if c is not None else 0 for c in seg_cached),
+        dtype=np.int64, count=len(seg_cached))
+
+    seg_of_row = np.repeat(np.arange(starts.size), ends - starts)
+    row_cached = has_cache[seg_of_row]
+
     det = np.full(B, -1, dtype=np.int32)
-    uncached = [i for i, c in enumerate(seg_cached) if c is None]
-    if uncached:
-        row_mask = np.zeros(B, dtype=bool)
-        for i in uncached:
-            row_mask[starts[i]:ends[i]] = True
+    if not has_cache.all():
+        # per-row detection only over the rows of UNCACHED docs
+        row_mask = ~row_cached
         sub_rows = np.flatnonzero(row_mask)
         sub_lengths = lengths[sub_rows]
         sub_offsets = np.zeros(sub_rows.size + 1, dtype=np.int64)
@@ -104,20 +120,33 @@ def detect_source_batch(pdf: pd.DataFrame, docs: dict,
     wm_used = det.copy()
     froms = np.zeros(B, dtype=bool)
     ts_ms = pdf["event_ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
-    for (s, e), cached in zip(zip(starts.tolist(), ends.tolist()),
-                              seg_cached):
-        doc = pdf["doc_id"].iat[s]
-        if cached is not None:
-            wm_used[s:e] = cached[0]
-            froms[s:e] = True
-            docs[doc] = (cached[0], max(cached[1], int(ts_ms[s:e].max())))
-            continue
-        found = np.flatnonzero(det[s:e] >= 0)
-        if found.size:
-            first = s + found[0]
-            wm_used[first + 1:e] = det[first]  # cache-once within the batch
-            froms[first + 1:e] = True
-            docs[doc] = (int(det[first]), int(ts_ms[s:e].max()))
+    seg_ts_max = np.maximum.reduceat(ts_ms, starts)
+
+    # cached segments: every row uses the cached token
+    wm_used[row_cached] = cache_tok[seg_of_row[row_cached]]
+    froms[row_cached] = True
+
+    # uncached segments: rows AFTER the first self-detecting row inherit
+    # its token (cache-once within the batch). first_idx per segment via a
+    # reduceat-min over detection positions (B = "none found"); cached
+    # segments have det == -1 everywhere so they read B here too.
+    pos = np.arange(B, dtype=np.int64)
+    first_idx = np.minimum.reduceat(np.where(det >= 0, pos, B), starts)
+    found = first_idx < B
+    tok_first = np.where(found, det[np.minimum(first_idx, B - 1)],
+                         -1).astype(np.int32)
+    after = found[seg_of_row] & (pos > first_idx[seg_of_row])
+    wm_used[after] = tok_first[seg_of_row[after]]
+    froms[after] = True
+
+    # ONE batched dict update: cached docs refresh their timestamp (token
+    # unchanged), uncached-and-found docs insert their first detection
+    upd_tok = np.where(has_cache, cache_tok, tok_first)
+    upd_ts = np.where(has_cache, np.maximum(cache_ts, seg_ts_max),
+                      seg_ts_max)
+    sel = np.flatnonzero(has_cache | found)
+    docs.update(zip(seg_docs[sel].tolist(),
+                    zip(upd_tok[sel].tolist(), upd_ts[sel].tolist())))
 
     mask_flat, wm_out, covs = detect_batch(flat, offsets, p, wm_in=wm_used)
     out = assemble_detect_output(pdf, mask_flat, offsets, wm_out, covs,
