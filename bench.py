@@ -301,12 +301,25 @@ def stateful_chain_compare_secs(spark, n_rows: int = 12000,
                                        F.col("seq_no").cast("string")))
      .coalesce(8).write.mode("overwrite").parquet(src))
     legs = (
-        ("fine", dict(detect_fn=detect_stream_stateful)),  # v1 unpacked
-        # the DEFAULT path: coarse keying + bit-packed masks + X6 join
+        ("fine", dict(detect_fn=detect_stream_stateful,
+                      state_store="default", state_api="legacy")),
+        # round-4 default: legacy coarse + packed masks, default provider
         ("coarse", dict(detect_fn=lambda s, p: detect_stream_stateful_coarse(
-            s, p, packed=True))),
+            s, p, packed=True), state_store="default", state_api="legacy")),
+        # provider isolated: SAME legacy coarse chain on RocksDB — the
+        # disk-backed store's local overhead, nothing else changed
+        ("coarse_rocks",
+         dict(detect_fn=lambda s, p: detect_stream_stateful_coarse(
+             s, p, packed=True), state_store="rocksdb",
+             state_api="legacy")),
+        # the round-5 DEFAULT: v2 transformWithStateInPandas coarse
+        # processor, whole chain (detect + X6 join buffers) on RocksDB
+        ("v2rocks", dict()),
         # join-free alternative: tokens pass through the state op, no X6
-        ("joinfree", dict(join_free=True)),
+        # (kept on the legacy/default combination for round-over-round
+        # ledger comparability with BENCH_r04)
+        ("joinfree", dict(join_free=True, state_store="default",
+                          state_api="legacy")),
     )
     best = {tag: float("inf") for tag, _ in legs}
     rows_out = {}
@@ -851,6 +864,8 @@ def _emit_compact(result) -> None:
               "stateful_detect_coarse_seqs_per_sec",
               "chain_docrow_fine_seqs_per_sec",
               "chain_docrow_coarse_seqs_per_sec",
+              "chain_docrow_coarse_rocks_seqs_per_sec",
+              "chain_docrow_v2rocks_seqs_per_sec",
               "chain_docrow_joinfree_seqs_per_sec",
               "hist_explode_sec", "hist_bincount_sec"):
         if k in result:
@@ -1058,8 +1073,10 @@ def _write_bench_md(result, scale, north, ceiling):
         f"{result.get('stateful_detect_coarse_seqs_per_sec', 'n/a')} seqs/s "
         "coarse-keyed on the same drop; the full chain is join+sink-bound "
         "and the gap grows with docs-per-batch (within 10% at 750 docs). "
-        "X5c is now run_stateful_pipeline's DEFAULT detect stage (v1 stays "
-        "as the parity reference).",
+        "run_stateful_pipeline's round-5 DEFAULT is the X5c shard-dict "
+        "processor on the v2 transformWithStateInPandas API with the whole "
+        "chain on the RocksDB state store (v1 and the legacy "
+        "applyInPandasWithState coarse op stay as parity references).",
         "",
         "Full chain at ONE DOC PER ROW "
         f"({result.get('chain_docrow_rows', 'n/a')} doc-groups in a single "
@@ -1068,7 +1085,19 @@ def _write_bench_md(result, scale, north, ceiling):
         "coarse-keyed packed "
         f"{result.get('chain_docrow_coarse_seqs_per_sec', 'n/a')} seqs/s "
         "end-to-end (detect -> stream-stream join -> repair -> exactly-once "
-        "sink), interleaved best-of-N. JOIN-FREE flavor (tokens pass "
+        "sink), interleaved best-of-N. RocksDB-vs-default, provider "
+        "isolated (same legacy coarse chain, only the state store "
+        "changes): "
+        f"{result.get('chain_docrow_coarse_rocks_seqs_per_sec', 'n/a')} "
+        "seqs/s on RocksDB — the expected modest local slowdown buys "
+        "bounded-memory state: the default in-memory provider holds detect "
+        "dicts AND both X6 join buffers on-heap, which cannot hold at "
+        "10^12 rows, while RocksDB spills to local disk and checkpoints "
+        "incrementally. The round-5 DEFAULT chain (v2 "
+        "transformWithStateInPandas coarse processor + whole chain on "
+        "RocksDB, watermark chained via eventTimeColumnName): "
+        f"{result.get('chain_docrow_v2rocks_seqs_per_sec', 'n/a')} seqs/s. "
+        "JOIN-FREE flavor (tokens pass "
         "through the state op, repair directly on its output — no X6 join, "
         "so neither stream buffers in join state; committed rows "
         "equality-tested vs the joined default): "

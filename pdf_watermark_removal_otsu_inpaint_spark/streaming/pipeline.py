@@ -85,16 +85,24 @@ def session_stats_stream(seq: DataFrame, gap: str = "30 seconds",
 # --- X6: stream-stream join of detection masks with the raw stream -----------
 def join_masks_with_sequences(seq: DataFrame, masks: DataFrame,
                               seq_watermark: str = "10 minutes",
-                              mask_watermark: str = "5 minutes") -> DataFrame:
+                              mask_watermark: str | None = "5 minutes"
+                              ) -> DataFrame:
     """Inner equi-join on (doc_id, seq_no) with an event-time interval bound
-    so join state is watermark-bounded (SURVEY §2.4 J1)."""
+    so join state is watermark-bounded (SURVEY §2.4 J1).
+
+    `mask_watermark=None` means the mask stream ALREADY carries a
+    watermark (a v2 stateful detect op that re-declared event time via
+    eventTimeColumnName) — calling withWatermark again downstream of a
+    stateful operator is watermark redefinition, which Spark rejects."""
     mask_col = "mask_bin" if "mask_bin" in masks.columns else "mask"
     s = (seq.withWatermark("event_ts", seq_watermark)
          .select(F.col("doc_id").alias("s_doc_id"),
                  F.col("seq_no").alias("s_seq_no"),
                  F.col("event_ts").alias("s_event_ts"),
                  "tokens", "n_tok", "source"))
-    m = (masks.withWatermark("event_ts", mask_watermark)
+    if mask_watermark is not None:
+        masks = masks.withWatermark("event_ts", mask_watermark)
+    m = (masks
          .select(F.col("doc_id").alias("m_doc_id"),
                  F.col("seq_no").alias("m_seq_no"),
                  F.col("event_ts").alias("m_event_ts"),
@@ -187,11 +195,17 @@ def run_repair_pipeline(seq: DataFrame, out_dir: str, checkpoint_dir: str,
     return writer.start()
 
 
+ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider")
+
+
 def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
                           params: EngineParams = DEFAULT_PARAMS,
                           trigger_once: bool = True,
                           detect_fn=None,
-                          join_free: bool = False):
+                          join_free: bool = False,
+                          state_api: str = "v2",
+                          state_store: str = "rocksdb"):
     """X5+X6 composition: stateful detect stream joined back to the raw
     stream, repaired, committed exactly-once.
 
@@ -209,17 +223,40 @@ def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
     stream is BUILT on the isolated session (a DataFrame is rejected: its
     plan is bound to the caller's session and cannot be migrated).
 
-    `detect_fn` overrides the stateful detect stage: the DEFAULT is the
-    coarse-keyed state_coarse.detect_stream_stateful_coarse (X5c:
-    n_sources * n_shards state groups per micro-batch instead of n_docs —
-    the scalable keying at high doc cardinality, 2.2x the fine-keyed
-    detect stage at one doc per row) emitting BIT-PACKED masks (the X6
-    wire format: ~8x fewer mask bytes through the join shuffle AND the
-    join's state store; repair_joined dispatches on the column name, and
-    packed-vs-unpacked chain output equality is pinned by the resume
-    test). Pass state.detect_stream_stateful for the doc-keyed unpacked
-    v1 (kept as the parity reference — the two are output-equality-tested
-    in tests/test_streaming.py).
+    DEFAULTS (round 5): the detect stage is the coarse-keyed X5c shard-dict
+    processor on the v2 state API (`state_api="v2"`,
+    state_v2.CoarseDetectProcessor via transformWithStateInPandas — the
+    forward-path API; applyInPandasWithState is legacy) emitting BIT-PACKED
+    masks (the X6 wire format: ~8x fewer mask bytes through the join
+    shuffle AND the join's state store), and the WHOLE chain — detect
+    state, X6 join buffers — runs on the RocksDB state store provider
+    (`state_store="rocksdb"`): at 10^12 rows the join holds both streams
+    until the watermark closes them, which only a disk-backed,
+    incrementally-checkpointed store can hold; the default in-memory
+    provider is the remaining scale-killer the RocksDB default removes.
+    `state_api="legacy"` selects the applyInPandasWithState coarse op
+    (parity reference); `state_store="default"` keeps Spark's default
+    provider (legacy API only — v2 requires RocksDB).
+
+    CHECKPOINT COMPATIBILITY — read before upgrading a running job: the
+    stateful-operator checkpoint encodes grouping keys, state schema, AND
+    the store provider. Round 4 changed the default detect stage from
+    fine-keyed unpacked v1 (keys (source, doc_id), state wm_token/rows_seen)
+    to coarse-keyed packed X5c (keys (source, _shard), state blob binary);
+    round 5 changes the default API (applyInPandasWithState ->
+    transformWithStateInPandas) and provider (default -> RocksDB). Each of
+    these makes PRE-EXISTING checkpoints unreadable or, worse, silently
+    wrong. Resuming an old checkpoint under a new default is NOT supported:
+    use a FRESH checkpoint_dir (the exactly-once sink makes the replay
+    idempotent), or pin the old behavior explicitly
+    (state_api="legacy", state_store="default",
+    detect_fn=state.detect_stream_stateful for the round-3 default).
+
+    `detect_fn` overrides the stateful detect stage entirely (e.g.
+    state.detect_stream_stateful for the doc-keyed unpacked v1, kept as
+    the parity reference — output-equality-tested in
+    tests/test_streaming.py); it composes with `state_store` but ignores
+    `state_api`.
 
     `join_free=True` swaps the X6 stream-stream join for a token
     PASS-THROUGH: the coarse stateful detect op emits each row's tokens
@@ -237,6 +274,16 @@ def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
     stream construction in a lambda."""
     from pyspark.sql import SparkSession
 
+    if state_api not in ("v2", "legacy"):
+        raise ValueError(f"state_api must be 'v2' or 'legacy', got "
+                         f"{state_api!r}")
+    if state_store not in ("rocksdb", "default"):
+        raise ValueError(f"state_store must be 'rocksdb' or 'default', "
+                         f"got {state_store!r}")
+    if state_api == "v2" and state_store == "default":
+        raise ValueError("the v2 state API (transformWithStateInPandas) "
+                         "requires the RocksDB state store provider; use "
+                         "state_store='rocksdb' or state_api='legacy'")
     if callable(seq) and not isinstance(seq, DataFrame):
         factory = seq
         base = (SparkSession.getActiveSession()
@@ -250,27 +297,48 @@ def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
     iso = base.newSession()
     key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
     iso.conf.set(key, "false")
+    if state_store == "rocksdb":
+        iso.conf.set("spark.sql.streaming.stateStore.providerClass",
+                     ROCKSDB_PROVIDER)
     stream = factory(iso)
 
     if join_free:
         if detect_fn is not None:
             raise ValueError("join_free uses its own pass-through detect "
                              "stage; detect_fn cannot be overridden")
-        from .state_coarse import detect_stream_stateful_coarse
-        enriched = detect_stream_stateful_coarse(stream, params,
-                                                 packed=True,
-                                                 with_tokens=True)
+        if state_api == "v2":
+            from .state_v2 import detect_stream_stateful_coarse_v2
+            enriched = detect_stream_stateful_coarse_v2(
+                stream, params, packed=True, with_tokens=True)
+        else:
+            from .state_coarse import detect_stream_stateful_coarse
+            enriched = detect_stream_stateful_coarse(stream, params,
+                                                     packed=True,
+                                                     with_tokens=True)
         repaired = repair_joined(enriched, params)
     else:
+        mask_wm = "10 minutes"
         if detect_fn is None:
-            from .state_coarse import detect_stream_stateful_coarse
+            if state_api == "v2":
+                from .state_v2 import detect_stream_stateful_coarse_v2
 
-            def detect_fn(s, p):
-                return detect_stream_stateful_coarse(s, p, packed=True)
+                def detect_fn(s, p):
+                    # re-declare event time on the op's OUTPUT so the
+                    # watermark propagates into the X6 join (Spark 4
+                    # stateful-chaining; a downstream withWatermark would
+                    # be rejected as redefinition)
+                    return detect_stream_stateful_coarse_v2(
+                        s, p, packed=True, event_time_col="event_ts")
+                mask_wm = None
+            else:
+                from .state_coarse import detect_stream_stateful_coarse
+
+                def detect_fn(s, p):
+                    return detect_stream_stateful_coarse(s, p, packed=True)
         masks = detect_fn(stream, params)
         joined = join_masks_with_sequences(stream, masks,
                                            seq_watermark="10 minutes",
-                                           mask_watermark="10 minutes")
+                                           mask_watermark=mask_wm)
         repaired = repair_joined(joined, params)
     sink = ExactlyOnceParquetSink(out_dir)
     writer = (repaired.writeStream.foreachBatch(sink)

@@ -166,12 +166,21 @@ def detect_stream_stateful_coarse_v2(seq,
                                      watermark: str = "10 minutes",
                                      n_shards: int = 64,
                                      packed: bool = False,
-                                     with_tokens: bool = False):
+                                     with_tokens: bool = False,
+                                     event_time_col: str = ""):
     """X5c on the v2 state API: coarse-keyed stateful detect stream (see
     CoarseDetectProcessor). Output-equivalent to both the legacy coarse op
     and the fine-keyed v1/v2 ops; packed / with_tokens select the same
     bit-packed and join-free wire formats as the legacy op (shared
-    assemble_detect_output, so the schemas cannot diverge)."""
+    assemble_detect_output, so the schemas cannot diverge).
+
+    `event_time_col`: pass the output's event-time column name (e.g.
+    "event_ts") when a DOWNSTREAM stateful operator (the X6 stream-stream
+    join) consumes this stream — Spark 4's sanctioned chaining mechanism:
+    the operator re-declares event time on its output so the watermark
+    propagates, instead of the consumer calling withWatermark again
+    (which the engine rejects as watermark redefinition past a stateful
+    op). Leave empty when the output feeds only stateless stages."""
     from pyspark.sql import functions as F
 
     from .state import (DETECT_STATE_OUTPUT_JOINFREE,
@@ -192,4 +201,5 @@ def detect_stream_stateful_coarse_v2(seq,
                                       with_tokens=with_tokens),
                 outputStructType=out_schema,
                 outputMode="append",
-                timeMode="eventTime"))
+                timeMode="eventTime",
+                eventTimeColumnName=event_time_col))

@@ -732,6 +732,42 @@ def test_stateful_coarse_matches_v1(spark, tmp_path):
     assert v1[("web", "docC", 2)][0] == 200 and v1[("web", "docC", 2)][1]
 
 
+def test_stateful_pipeline_dial_guards(spark, tmp_path):
+    """The state_api/state_store dials reject unsupported combinations
+    loudly (v2 requires RocksDB; typos must not silently pick a default),
+    and legacy+default — the pre-round-5 behavior — still runs and matches
+    the v2+RocksDB default's committed rows."""
+    import pytest as _pt
+
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.pipeline import (
+        run_stateful_pipeline)
+    factory = lambda s: file_stream(s, str(tmp_path / "nowhere"))  # noqa: E731
+    with _pt.raises(ValueError, match="requires the RocksDB"):
+        run_stateful_pipeline(factory, "o", "c", state_api="v2",
+                              state_store="default")
+    with _pt.raises(ValueError, match="state_api"):
+        run_stateful_pipeline(factory, "o", "c", state_api="v3")
+    with _pt.raises(ValueError, match="state_store"):
+        run_stateful_pipeline(factory, "o", "c", state_store="hdfs")
+
+    seq_dir = str(tmp_path / "seq")
+    df = sequences_df(spark, 24, seed=16)
+    write_batches(spark, [df], seq_dir)
+    outs = {}
+    for tag, kw in (("v2rocks", {}),   # the default
+                    ("legacy", dict(state_api="legacy",
+                                    state_store="default"))):
+        q = run_stateful_pipeline(
+            lambda s: file_stream(s, seq_dir),
+            str(tmp_path / f"out_{tag}"), str(tmp_path / f"ck_{tag}"), **kw)
+        q.awaitTermination(180)
+        outs[tag] = {(r.doc_id, r.seq_no): (r.tokens, r.wm_token)
+                     for r in ExactlyOnceParquetSink(
+                         str(tmp_path / f"out_{tag}"))
+                     .read_committed(spark).collect()}
+    assert outs["v2rocks"] == outs["legacy"] and len(outs["v2rocks"]) == 24
+
+
 def test_join_free_chain_matches_joined_chain(spark, tmp_path):
     """join_free=True (state op passes tokens through, repair runs on its
     output, no X6 join) commits EXACTLY the rows of the joined default —
