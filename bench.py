@@ -354,7 +354,151 @@ def stateful_chain_compare_secs(spark, n_rows: int = 12000,
     return out
 
 
+def scale_stress(spark) -> dict:
+    """sf1-equivalent stress: the dedup family + the stateful chain run
+    ONCE at ~10x the scale everything was tuned at, as evidence the
+    candidate-volume dials hold off-scale.
+
+    Corpus: 50,000 documents (10x the sf0.1 documents table), fully
+    deterministic (hash-driven words from a 1,000-word vocabulary, 30-60
+    words/doc), with PLANTED structure the counts can be checked against:
+    ~4.7% near-duplicates (each %20==7 doc copies its predecessor with its
+    last 3 words rewritten), ~1% exact duplicates (%100==99 copies its
+    predecessor verbatim), and a 200-doc IDENTICAL block (doc_id
+    49000-49199) — the degenerate corpus that makes an uncapped LSH
+    self-join quadratic (one bucket set alone would emit 200^2/2 = ~20k
+    pairs x 8 bands). The hot-bucket ceiling must yield ZERO candidate
+    pairs inside the block (its buckets are dropped before the join) while
+    exact dedup still catches the block, and dedup clustering must
+    converge over the capped graph."""
+    import tempfile
+
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from pdf_watermark_removal_otsu_inpaint_spark.plans.queries import (
+        QUERIES)
+
+    n_docs = 50_000
+    blk_lo, blk_hi = 49_000, 49_200
+
+    # 20k-word hash-derived vocabulary: wide enough that UNRELATED docs
+    # almost never share a minhash component (so LSH bucket widths track
+    # duplicate-group sizes, as at production scale where the vocabulary
+    # is token n-grams), yet the planted near-dups collide on >= 4/8
+    # components with near-certainty. The word STRING is an md5 prefix of
+    # the vocab index, not the index itself: q25's minhash family is
+    # (a * polyhash(word) + b) mod p with small a, so short numeric words
+    # whose polyhash never wraps the modulus make all 8 "permutations"
+    # monotone transforms of one ordering (they all select the same word
+    # -> every chance bucket matches on 8/8 bands; measured: 454k junk
+    # pairs). md5-spread polyhashes wrap and decorrelate the bands — the
+    # regime real token vocabularies are in.
+    def _word(seed, k, salt):
+        return F.substring(
+            F.md5(F.format_string(
+                "v%d",
+                F.pmod(F.xxhash64(seed, k, F.lit(salt)),
+                       F.lit(20_000)).cast("int"))), 1, 10)
+
+    is_block = (F.col("doc_id") >= blk_lo) & (F.col("doc_id") < blk_hi)
+    is_near = (F.col("doc_id") % 20 == 7) & (F.col("doc_id") % 100 != 99) \
+        & ~is_block
+    is_exact = (F.col("doc_id") % 100 == 99) & ~is_block
+    base_id = F.when(is_near | is_exact, F.col("doc_id") - 1) \
+        .otherwise(F.col("doc_id"))
+    n_words = F.when(is_block, F.lit(40)).otherwise(
+        (F.pmod(F.xxhash64(base_id, F.lit(1)), F.lit(31)) + 30).cast("int"))
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_words - 1),
+            lambda k: F.when(is_block, _word(F.lit(-1), k, 0))
+            .when(is_near & (k >= n_words - 3),
+                  _word(F.col("doc_id"), k, 7))
+            .otherwise(_word(base_id, k, 0))), " ")
+    stress_dir = tempfile.mkdtemp(prefix="bench_sf1_docs_")
+    (spark.range(n_docs).withColumnRenamed("id", "doc_id")
+     .repartition(CPUS)
+     .select("doc_id", text.alias("text"))
+     .withColumn("source", F.lit("sf1stress"))
+     .write.mode("overwrite").parquet(f"{stress_dir}/documents.parquet"))
+
+    out: dict = {"sf1_docs": n_docs}
+    counts = {}
+    for key, qname in (("q20_exact", "q20_exact_dedup"),
+                       ("q26_lsh_pairs", "q26_minhash_dup_pairs"),
+                       ("q21_jaccard", "q21_jaccard_pairs"),
+                       ("q53_bands", "q53_shingle_lsh_bands"),
+                       ("q52_clusters", "q52_dedup_clusters")):
+        t0 = time.perf_counter()
+        df = QUERIES[qname](spark, stress_dir)
+        if key == "q20_exact":
+            n = df.where(F.col("copies") > 1).count()
+        elif key == "q52_clusters":
+            n = df.select("cluster_id").distinct().count()
+        else:
+            n = df.count()
+        out[f"sf1_{key}_sec"] = round(time.perf_counter() - t0, 3)
+        out[f"sf1_{key}_rows"] = n
+        counts[key] = n
+    # the identical block contributes ZERO capped LSH candidates...
+    pairs = QUERIES["q26_minhash_dup_pairs"](spark, stress_dir)
+    blk_pairs = pairs.where((F.col("a_id") >= blk_lo)
+                            & (F.col("a_id") < blk_hi)
+                            & (F.col("b_id") < blk_hi)).count()
+    assert blk_pairs == 0, \
+        f"hot-bucket ceiling leaked {blk_pairs} block pairs"
+    out["sf1_block_pairs_after_cap"] = blk_pairs
+    # ...while exact dedup still catches it (>= the 200-doc block + the
+    # ~495 planted exact pairs collapse into duplicate groups)
+    assert counts["q20_exact"] >= 200, counts
+    # candidate volume tracks planted dups, not |docs|^2: ~2.4k near-dup
+    # + ~0.5k exact-dup plantings must be FOUND (lower bound) without the
+    # join going quadratic (upper bound: order-of-magnitude slack, vs the
+    # ~20M pairs an uncapped identical block + popular-minhash buckets
+    # would emit)
+    assert 2_000 <= counts["q26_lsh_pairs"] < 50_000, counts
+    _sh.rmtree(stress_dir, ignore_errors=True)
+
+    # stateful chain, default path (v2 coarse + RocksDB), ONE shot at 4x
+    # the tuned one-doc-per-row shape
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.pipeline import (
+        file_stream, run_stateful_pipeline)
+    n_rows = 48_000
+    src = tempfile.mkdtemp(prefix="bench_sf1chain_src_")
+    (spark.read.parquet(f"{BENCH_INPUT}/list").limit(n_rows)
+     .withColumn("doc_id", F.concat_ws("-", "doc_id",
+                                       F.col("seq_no").cast("string")))
+     .coalesce(16).write.mode("overwrite").parquet(src))
+    chain_out = tempfile.mkdtemp(prefix="bench_sf1chain_out_")
+    ck = tempfile.mkdtemp(prefix="bench_sf1chain_ck_")
+    t0 = time.perf_counter()
+    q = run_stateful_pipeline(
+        lambda s: file_stream(s, src, max_files_per_trigger=16),
+        f"{chain_out}/o", ck)
+    finished = q.awaitTermination(1200)
+    secs = time.perf_counter() - t0
+    if finished:
+        rows = spark.read.parquet(f"{chain_out}/o/data").count()
+        assert rows == n_rows, (rows, n_rows)
+        out["sf1_chain_rows"] = n_rows
+        out["sf1_chain_sec"] = round(secs, 3)
+        out["sf1_chain_seqs_per_sec"] = round(n_rows / secs, 1)
+    else:
+        q.stop()
+        out["sf1_chain_timeout"] = True
+    for d in (src, chain_out, ck):
+        _sh.rmtree(d, ignore_errors=True)
+    return out
+
+
 HEADLINE_ROUNDS = int(os.environ.get("SPARK_GRAFT_HEADLINE_ROUNDS", "3"))
+# sub-SHORT_QUERY_SECS queries get SHORT_ROUNDS trials (median-of-5): three
+# rounds of a ~300 ms query cannot average out host interference windows
+SHORT_QUERY_SECS = float(os.environ.get("SPARK_GRAFT_SHORT_QUERY_SECS",
+                                        "0.4"))
+SHORT_ROUNDS = int(os.environ.get("SPARK_GRAFT_SHORT_ROUNDS", "5"))
 
 
 def run_headline(spark) -> tuple[dict[str, float], dict[str, float]]:
@@ -377,17 +521,34 @@ def run_headline(spark) -> tuple[dict[str, float], dict[str, float]]:
 
     _noop(spark.range(10000).repartition(CPUS).select(_warm("id")))
     plans = {name: QUERIES[name](spark, SF_DIR) for name in HEADLINE}
+    warm_secs: dict[str, float] = {}
     for name in HEADLINE:        # uncounted warmup pass, every query
+        t0 = time.perf_counter()
         _noop(plans[name])
+        warm_secs[name] = time.perf_counter() - t0
+    # rounds scale inversely with query cost: a sub-400 ms query cannot
+    # average host-interference windows out of 3 trials (r04 spreads hit
+    # 0.31 on q08), so short queries get SHORT_ROUNDS trials; their spread
+    # is then reported over the central trials (min and max trimmed — the
+    # trials that cannot have decided the median), which is the honest
+    # dispersion of the estimator actually published
+    rounds_for = {n: (SHORT_ROUNDS if warm_secs[n] < SHORT_QUERY_SECS
+                      else HEADLINE_ROUNDS) for n in HEADLINE}
     trials: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(HEADLINE_ROUNDS):
-        for name in HEADLINE:
+    for r in range(max(rounds_for.values())):
+        for name in HEADLINE:    # keep the A/B/.../L interleave per round
+            if r >= rounds_for[name]:
+                continue
             t0 = time.perf_counter()
             _noop(plans[name])
             trials[name].append(time.perf_counter() - t0)
     medians = {n: round(_median(ts), 3) for n, ts in trials.items()}
-    spreads = {n: round((max(ts) - min(ts)) / _median(ts), 3)
-               for n, ts in trials.items()}
+
+    def _spread(ts: list[float]) -> float:
+        core = sorted(ts)[1:-1] if len(ts) >= 5 else ts
+        return round((max(core) - min(core)) / _median(ts), 3)
+
+    spreads = {n: _spread(ts) for n, ts in trials.items()}
     return medians, spreads
 
 
@@ -791,8 +952,9 @@ def main():
     result["queries"] = queries
     result["query_spreads"] = query_spreads
     result["headline_protocol"] = (
-        f"interleaved rounds, median of {HEADLINE_ROUNDS} per query, "
-        "1 warmup pass")
+        f"interleaved rounds, median of {HEADLINE_ROUNDS} per query "
+        f"(median of {SHORT_ROUNDS} + min/max-trimmed spread for queries "
+        f"under {SHORT_QUERY_SECS} s at warmup), 1 warmup pass")
     result["value"] = round(sum(queries.values()), 3)
 
     materialize_input(spark, PIPELINE_ROWS)
@@ -817,6 +979,7 @@ def main():
         result["stateful_pipeline_seqs_per_sec"] = round(st_rows / st_sec, 1)
         result.update(stateful_detect_secs(spark))
         result.update(stateful_chain_compare_secs(spark))
+        result.update(scale_stress(spark))
     spark.stop()
 
     if not FAST:
@@ -867,6 +1030,7 @@ def _emit_compact(result) -> None:
               "chain_docrow_coarse_rocks_seqs_per_sec",
               "chain_docrow_v2rocks_seqs_per_sec",
               "chain_docrow_joinfree_seqs_per_sec",
+              "sf1_q26_lsh_pairs_rows", "sf1_chain_seqs_per_sec",
               "hist_explode_sec", "hist_bincount_sec"):
         if k in result:
             compact[k] = result[k]
@@ -1102,6 +1266,34 @@ def _write_bench_md(result, scale, north, ceiling):
         "so neither stream buffers in join state; committed rows "
         "equality-tested vs the joined default): "
         f"{result.get('chain_docrow_joinfree_seqs_per_sec', 'n/a')} seqs/s.",
+        "",
+        "## sf1 scale stress (one-off, nothing tuned at this scale)",
+        "",
+        f"Deterministic 50k-doc corpus ({result.get('sf1_docs', 'n/a')} "
+        "docs, 10x the sf0.1 documents table; 20k-word hash vocabulary, "
+        "30-60 words/doc) with planted structure: ~2.4k near-duplicate "
+        "pairs, ~0.5k exact-duplicate pairs, and a 200-doc IDENTICAL "
+        "block — the degenerate corpus that makes an uncapped LSH "
+        "self-join quadratic. Results: exact-dedup groups "
+        f"{result.get('sf1_q20_exact_rows', 'n/a')} "
+        f"({result.get('sf1_q20_exact_sec', 'n/a')} s), capped LSH "
+        f"candidate pairs {result.get('sf1_q26_lsh_pairs_rows', 'n/a')} "
+        f"({result.get('sf1_q26_lsh_pairs_sec', 'n/a')} s) with "
+        f"{result.get('sf1_block_pairs_after_cap', 'n/a')} pairs from the "
+        "identical block (the hot-bucket ceiling drops its buckets before "
+        "the join; bench ASSERTS zero), verified Jaccard pairs "
+        f"{result.get('sf1_q21_jaccard_rows', 'n/a')} "
+        f"({result.get('sf1_q21_jaccard_sec', 'n/a')} s), shingle-band "
+        f"pairs {result.get('sf1_q53_bands_rows', 'n/a')} "
+        f"({result.get('sf1_q53_bands_sec', 'n/a')} s), dedup clusters "
+        f"{result.get('sf1_q52_clusters_rows', 'n/a')} "
+        f"({result.get('sf1_q52_clusters_sec', 'n/a')} s, convergence "
+        "asserted). Candidate volume tracks the planted duplicate count, "
+        "not |docs|^2 (asserted bounds in scale_stress). Stateful chain "
+        "(default v2+RocksDB path) one-shot at "
+        f"{result.get('sf1_chain_rows', 'n/a')} one-doc-per-row rows (4x "
+        f"the tuned shape): {result.get('sf1_chain_seqs_per_sec', 'n/a')} "
+        f"seqs/s ({result.get('sf1_chain_sec', 'n/a')} s).",
         "",
         "Reference single-thread baseline (BASELINE.md): ~0.7-2.2 M "
         "pixel-ops/s, i.e. ~350-1000 sequences/s at 2048 tokens. Engine "
