@@ -205,7 +205,8 @@ def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
                           detect_fn=None,
                           join_free: bool = False,
                           state_api: str = "v2",
-                          state_store: str = "rocksdb"):
+                          state_store: str = "rocksdb",
+                          mask_watermark: str | None = "10 minutes"):
     """X5+X6 composition: stateful detect stream joined back to the raw
     stream, repaired, committed exactly-once.
 
@@ -256,7 +257,10 @@ def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
     state.detect_stream_stateful for the doc-keyed unpacked v1, kept as
     the parity reference — output-equality-tested in
     tests/test_streaming.py); it composes with `state_store` but ignores
-    `state_api`.
+    `state_api`. If the override is itself a v2 op that re-declares event
+    time (eventTimeColumnName), ALSO pass `mask_watermark=None` — the
+    default re-applies withWatermark on the mask side for legacy detect
+    stages, which Spark rejects as redefinition past a v2 stateful op.
 
     `join_free=True` swaps the X6 stream-stream join for a token
     PASS-THROUGH: the coarse stateful detect op emits each row's tokens
@@ -317,7 +321,7 @@ def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
                                                      with_tokens=True)
         repaired = repair_joined(enriched, params)
     else:
-        mask_wm = "10 minutes"
+        mask_wm = mask_watermark
         if detect_fn is None:
             if state_api == "v2":
                 from .state_v2 import detect_stream_stateful_coarse_v2
