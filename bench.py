@@ -191,10 +191,11 @@ def exactly_once_secs(spark, trials: int = 3) -> float:
 
 
 def stateful_secs(spark, n_rows: int = 12000) -> tuple[float, int]:
-    """X5+X6 chain (applyInPandasWithState detect -> stream-stream join ->
-    repair -> exactly-once sink) on a slice of the pipeline input. Documents
-    the per-group-call cost of per-doc state (SURVEY §4.3: the fused
-    foreachBatch path is the primary design for exactly this reason)."""
+    """X5+X6 chain on run_stateful_pipeline's DEFAULT path (since r5: v2
+    transformWithStateInPandas coarse detect + RocksDB store -> stream-
+    stream join -> repair -> exactly-once sink) on a slice of the pipeline
+    input. Documents the cost of per-doc state vs the fused foreachBatch
+    path (SURVEY §4.3: the fused pipeline is primary for this reason)."""
     import shutil as _sh
     import tempfile
 
@@ -499,6 +500,11 @@ HEADLINE_ROUNDS = int(os.environ.get("SPARK_GRAFT_HEADLINE_ROUNDS", "3"))
 SHORT_QUERY_SECS = float(os.environ.get("SPARK_GRAFT_SHORT_QUERY_SECS",
                                         "0.4"))
 SHORT_ROUNDS = int(os.environ.get("SPARK_GRAFT_SHORT_ROUNDS", "5"))
+# queries whose trimmed spread still exceeds SPREAD_TARGET after the
+# scheduled rounds get up to HEADLINE_EXTRA_ROUNDS more interleaved trials
+SPREAD_TARGET = float(os.environ.get("SPARK_GRAFT_SPREAD_TARGET", "0.25"))
+HEADLINE_EXTRA_ROUNDS = int(os.environ.get("SPARK_GRAFT_HEADLINE_EXTRA",
+                                           "4"))
 
 
 def run_headline(spark) -> tuple[dict[str, float], dict[str, float]]:
@@ -542,12 +548,24 @@ def run_headline(spark) -> tuple[dict[str, float], dict[str, float]]:
             t0 = time.perf_counter()
             _noop(plans[name])
             trials[name].append(time.perf_counter() - t0)
-    medians = {n: round(_median(ts), 3) for n, ts in trials.items()}
-
     def _spread(ts: list[float]) -> float:
         core = sorted(ts)[1:-1] if len(ts) >= 5 else ts
         return round((max(core) - min(core)) / _median(ts), 3)
 
+    # adaptive re-measurement: a host interference window can blow a
+    # query's spread past any fixed round count (r5 first run: 0.42 on a
+    # 3-round query). Queries whose trimmed spread exceeds SPREAD_TARGET
+    # get extra interleaved rounds (bounded) — more trials tighten both
+    # the median and the trimmed spread without re-running quiet queries.
+    for _ in range(HEADLINE_EXTRA_ROUNDS):
+        bad = [n for n in HEADLINE if _spread(trials[n]) > SPREAD_TARGET]
+        if not bad:
+            break
+        for name in bad:
+            t0 = time.perf_counter()
+            _noop(plans[name])
+            trials[name].append(time.perf_counter() - t0)
+    medians = {n: round(_median(ts), 3) for n, ts in trials.items()}
     spreads = {n: _spread(ts) for n, ts in trials.items()}
     return medians, spreads
 
@@ -954,7 +972,9 @@ def main():
     result["headline_protocol"] = (
         f"interleaved rounds, median of {HEADLINE_ROUNDS} per query "
         f"(median of {SHORT_ROUNDS} + min/max-trimmed spread for queries "
-        f"under {SHORT_QUERY_SECS} s at warmup), 1 warmup pass")
+        f"under {SHORT_QUERY_SECS} s at warmup), 1 warmup pass, up to "
+        f"{HEADLINE_EXTRA_ROUNDS} adaptive extra rounds per query while "
+        f"its spread exceeds {SPREAD_TARGET}")
     result["value"] = round(sum(queries.values()), 3)
 
     materialize_input(spark, PIPELINE_ROWS)
