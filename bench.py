@@ -549,8 +549,7 @@ def run_headline(spark) -> tuple[dict[str, float], dict[str, float]]:
             _noop(plans[name])
             trials[name].append(time.perf_counter() - t0)
     def _spread(ts: list[float]) -> float:
-        core = sorted(ts)[1:-1] if len(ts) >= 5 else ts
-        return round((max(core) - min(core)) / _median(ts), 3)
+        return round(_trimmed_spread(ts), 3)   # shared with the ladders
 
     # adaptive re-measurement: a host interference window can blow a
     # query's spread past any fixed round count (r5 first run: 0.42 on a
@@ -629,6 +628,18 @@ def _median(xs):
     s = sorted(xs)
     n = len(s)
     return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
+LADDER_SPREAD_TARGET = float(os.environ.get(
+    "SPARK_GRAFT_LADDER_SPREAD_TARGET", "0.3"))
+LADDER_EXTRA_TRIALS = int(os.environ.get("SPARK_GRAFT_LADDER_EXTRA", "4"))
+
+
+def _trimmed_spread(ts) -> float:
+    """(max-min)/median over the central trials (min and max dropped once
+    there are >= 5 — the trials that cannot have decided the median)."""
+    core = sorted(ts)[1:-1] if len(ts) >= 5 else ts
+    return (max(core) - min(core)) / _median(ts)
 
 
 E1X_LADDER_TRIALS = int(os.environ.get("SPARK_GRAFT_E1X_TRIALS", "3"))
@@ -756,6 +767,21 @@ def _run_interleaved_ladder(child_flag: str, n_trials: int,
                 p.stdin.write("GO\n")
                 p.stdin.flush()
                 trials[cpus].append(next_json(p)["sec"])
+        # adaptive re-measurement (same rule as the headline): hypervisor
+        # steal can blow one leg's spread past any fixed trial count —
+        # while either leg's TRIMMED spread exceeds the target, both legs
+        # get another interleaved trial (both, so a window still spans
+        # them), bounded. More trials tighten the median the efficiency
+        # ratio is computed from.
+        for _ in range(LADDER_EXTRA_TRIALS):
+            if all(_trimmed_spread(trials[c]) <= LADDER_SPREAD_TARGET
+                   for c, _ in legs):
+                break
+            for cpus, _ in legs:
+                p = procs[cpus]
+                p.stdin.write("GO\n")
+                p.stdin.flush()
+                trials[cpus].append(next_json(p)["sec"])
         for cpus, _ in legs:
             p = procs[cpus]
             p.stdin.close()
@@ -777,8 +803,10 @@ def _run_interleaved_ladder(child_flag: str, n_trials: int,
         out[cpus] = {"sec": round(med, 3),
                      "seqs_per_sec": round(LADDER_ROWS / med, 1),
                      "trials_sec": [round(x, 2) for x in trials[cpus]],
-                     "spread": round(
-                         (max(trials[cpus]) - min(trials[cpus])) / med, 3),
+                     # trimmed (min/max dropped at n>=5): the dispersion
+                     # of the trials that can decide the median; the raw
+                     # trial list above stays published either way
+                     "spread": round(_trimmed_spread(trials[cpus]), 3),
                      "pinned": have_taskset}
     out["rows"] = LADDER_ROWS
     out["trials"] = n_trials
