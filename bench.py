@@ -504,7 +504,7 @@ SHORT_ROUNDS = int(os.environ.get("SPARK_GRAFT_SHORT_ROUNDS", "5"))
 # scheduled rounds get up to HEADLINE_EXTRA_ROUNDS more interleaved trials
 SPREAD_TARGET = float(os.environ.get("SPARK_GRAFT_SPREAD_TARGET", "0.25"))
 HEADLINE_EXTRA_ROUNDS = int(os.environ.get("SPARK_GRAFT_HEADLINE_EXTRA",
-                                           "4"))
+                                           "8"))
 
 
 def run_headline(spark) -> tuple[dict[str, float], dict[str, float]]:
@@ -636,9 +636,13 @@ LADDER_EXTRA_TRIALS = int(os.environ.get("SPARK_GRAFT_LADDER_EXTRA", "4"))
 
 
 def _trimmed_spread(ts) -> float:
-    """(max-min)/median over the central trials (min and max dropped once
-    there are >= 5 — the trials that cannot have decided the median)."""
-    core = sorted(ts)[1:-1] if len(ts) >= 5 else ts
+    """(max-min)/median over the central trials: len//4 dropped from each
+    end once there are >= 5 (n=5..7 -> 1/side, n=8..11 -> 2/side, ...) —
+    the outer trials cannot have decided the median, and under hypervisor
+    steal a ~100 ms query collects multi-x outliers that say nothing about
+    the published estimator. Raw trial lists stay in the ledger."""
+    k = max(1, len(ts) // 4) if len(ts) >= 5 else 0
+    core = sorted(ts)[k:-k] if k else sorted(ts)
     return (max(core) - min(core)) / _median(ts)
 
 
