@@ -548,7 +548,8 @@ def run_headline(spark) -> tuple[dict[str, float], dict[str, float]]:
         t0 = time.perf_counter()
         _noop(plans[name])
         wall = time.perf_counter() - t0
-        trials[name].append((wall, _steal_cores(j0, wall)))
+        trials[name].append(
+            (wall, _steal_cores(j0, wall), _canary_secs()))
 
     for r in range(max(rounds_for.values())):
         for name in HEADLINE:    # keep the A/B/.../L interleave per round
@@ -569,7 +570,8 @@ def run_headline(spark) -> tuple[dict[str, float], dict[str, float]]:
     for _ in range(HEADLINE_EXTRA_ROUNDS):
         bad = [n for n in HEADLINE
                if _spread(trials[n]) > SPREAD_TARGET
-               or len([1 for _, s in trials[n] if s <= STEAL_CORES]) < 3]
+               or len([1 for t in trials[n]
+                       if not _is_dirty(t[1], t[2])]) < 3]
         if not bad:
             break
         for name in bad:
@@ -686,12 +688,51 @@ def _steal_cores(j0: int, wall: float) -> float:
     return (_steal_jiffies() - j0) / 100.0 / max(wall, 1e-9)
 
 
+# Second interference signal: steal only shows hypervisor CPU preemption,
+# but co-tenant DRAM-bandwidth contention slows trials with ZERO steal
+# (observed: 167 s vs 72 s identical e1x trials, steal 0.01-0.08 cores).
+# A fixed-work memcpy canary timed right after each trial exposes it: the
+# copy's wall time is pure memory bandwidth. Trials record the RAW canary
+# seconds; dirtiness is judged lazily against the best canary the process
+# has seen by evaluation time (a storm at startup cannot poison the
+# baseline, and a trial taken during an early storm is re-judged against
+# the later, quieter best). Ratio reads ~1.0 quiet, 1.5-3x mid-contention.
+CANARY_MB = int(os.environ.get("SPARK_GRAFT_CANARY_MB", "64"))
+CANARY_FACTOR = float(os.environ.get("SPARK_GRAFT_CANARY_FACTOR", "1.6"))
+_CANARY_BUF = None
+_CANARY_BEST = [float("inf")]
+
+
+def _canary_secs() -> float:
+    """One fixed-work memcpy; returns raw seconds, refines the best."""
+    global _CANARY_BUF
+    import numpy as np
+    if _CANARY_BUF is None:
+        _CANARY_BUF = np.ones(CANARY_MB << 20, dtype=np.uint8)
+        _CANARY_BUF.copy()          # fault pages outside the timed copy
+    t0 = time.perf_counter()
+    _CANARY_BUF.copy()
+    dt = time.perf_counter() - t0
+    _CANARY_BEST[0] = min(_CANARY_BEST[0], dt)
+    return dt
+
+
+def _canary_ratio() -> float:
+    return _canary_secs() / _CANARY_BEST[0]
+
+
+def _is_dirty(steal: float, canary_dt: float) -> bool:
+    return (steal > STEAL_CORES
+            or canary_dt / _CANARY_BEST[0] > CANARY_FACTOR)
+
+
 def _clean_secs(trials) -> list:
-    """Trial secs to publish: contaminated trials (steal > STEAL_CORES)
-    drop out when >= 3 clean ones remain; else all trials count (a storm
-    that never lifts must not leave an empty estimator)."""
-    clean = [t for t, s in trials if s <= STEAL_CORES]
-    return clean if len(clean) >= 3 else [t for t, _ in trials]
+    """Trial secs to publish: contaminated trials (steal > STEAL_CORES or
+    canary ratio > CANARY_FACTOR) drop out when >= 3 clean ones remain;
+    else all trials count (a storm that never lifts must not leave an
+    empty estimator)."""
+    clean = [t[0] for t in trials if not _is_dirty(t[1], t[2])]
+    return clean if len(clean) >= 3 else [t[0] for t in trials]
 
 
 def _steal_probe(cores: int = 4, sec: float = 2.0) -> float:
@@ -716,14 +757,16 @@ def _wait_for_quiet(tag: str) -> float:
     deadline = time.time() + QUIET_WAIT_S
     while True:
         rate = _steal_probe()
-        if rate <= STEAL_CORES:
+        canary = _canary_ratio()
+        if rate <= STEAL_CORES and canary <= CANARY_FACTOR:
             return rate
         if time.time() >= deadline:
             print(f"[bench] {tag}: starting despite steal "
-                  f"{rate:.2f} cores (quiet-wait exhausted)", flush=True)
+                  f"{rate:.2f} cores / canary {canary:.2f}x "
+                  f"(quiet-wait exhausted)", flush=True)
             return rate
-        print(f"[bench] {tag}: steal {rate:.2f} cores — waiting for a "
-              f"quiet window", flush=True)
+        print(f"[bench] {tag}: steal {rate:.2f} cores, canary "
+              f"{canary:.2f}x — waiting for a quiet window", flush=True)
         time.sleep(20)
 
 
@@ -863,7 +906,8 @@ def _run_interleaved_ladder(child_flag: str, n_trials: int,
             p.stdin.flush()
             sec = next_json(p)["sec"]
             trials[cpus].append(
-                (sec, _steal_cores(j0, time.perf_counter() - t0)))
+                (sec, _steal_cores(j0, time.perf_counter() - t0),
+                 _canary_secs()))
 
         for _ in range(n_trials):   # interleave: one trial/leg/round
             for cpus, _ in legs:
@@ -878,8 +922,8 @@ def _run_interleaved_ladder(child_flag: str, n_trials: int,
         for _ in range(LADDER_EXTRA_TRIALS):
             if all(_trimmed_spread(_clean_secs(trials[c]))
                    <= LADDER_SPREAD_TARGET
-                   and len([1 for _, s in trials[c] if s <= STEAL_CORES])
-                   >= 3
+                   and len([1 for t in trials[c]
+                            if not _is_dirty(t[1], t[2])]) >= 3
                    for c, _ in legs):
                 break
             for cpus, _ in legs:
@@ -906,9 +950,11 @@ def _run_interleaved_ladder(child_flag: str, n_trials: int,
         n_dirty = len(trials[cpus]) - len(secs)
         out[cpus] = {"sec": round(med, 3),
                      "seqs_per_sec": round(LADDER_ROWS / med, 1),
-                     "trials_sec": [round(x, 2) for x, _ in trials[cpus]],
-                     "trials_steal_cores": [round(s, 2)
-                                            for _, s in trials[cpus]],
+                     "trials_sec": [round(t[0], 2) for t in trials[cpus]],
+                     "trials_steal_cores": [round(t[1], 2)
+                                            for t in trials[cpus]],
+                     "trials_canary": [round(t[2] / _CANARY_BEST[0], 2)
+                                       for t in trials[cpus]],
                      "steal_discarded": n_dirty,
                      # trimmed (min/max dropped at n>=5): the dispersion
                      # of the trials that can decide the median; the raw
