@@ -195,8 +195,10 @@ def run_repair_pipeline(seq: DataFrame, out_dir: str, checkpoint_dir: str,
     return writer.start()
 
 
-ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
-                    "RocksDBStateStoreProvider")
+from .state_v2 import ROCKSDB_CONF
+
+ROCKSDB_PROVIDER = ROCKSDB_CONF[
+    "spark.sql.streaming.stateStore.providerClass"]
 
 
 def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
@@ -235,6 +237,10 @@ def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
     until the watermark closes them, which only a disk-backed,
     incrementally-checkpointed store can hold; the default in-memory
     provider is the remaining scale-killer the RocksDB default removes.
+    RocksDB runs with CHANGELOG CHECKPOINTING on (state_v2.ROCKSDB_CONF):
+    each commit uploads the batch's changelog, snapshots happen in the
+    background — per-batch full-snapshot upload is the checkpoint
+    bottleneck at that key count, not the writes.
     `state_api="legacy"` selects the applyInPandasWithState coarse op
     (parity reference); `state_store="default"` keeps Spark's default
     provider (legacy API only — v2 requires RocksDB).
@@ -302,8 +308,10 @@ def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
     key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
     iso.conf.set(key, "false")
     if state_store == "rocksdb":
-        iso.conf.set("spark.sql.streaming.stateStore.providerClass",
-                     ROCKSDB_PROVIDER)
+        # provider + changelog checkpointing (incremental per-batch commit;
+        # see state_v2.ROCKSDB_CONF for the 10^12-key rationale)
+        for k, v in ROCKSDB_CONF.items():
+            iso.conf.set(k, v)
     stream = factory(iso)
 
     if join_free:

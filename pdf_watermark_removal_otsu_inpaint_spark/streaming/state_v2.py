@@ -139,12 +139,30 @@ class CoarseDetectProcessor(StatefulProcessor):
         pass
 
 
+# Canonical RocksDB state-store configuration (one source: pipeline.py
+# applies the same dict). Changelog checkpointing is ON: the provider
+# commits each micro-batch by uploading the batch's state CHANGELOG and
+# snapshots in the background every
+# `...rocksdb.minDeltasForSnapshot` batches — without it every commit
+# uploads a full store snapshot per partition, which at 10^12 state keys
+# (the X6 join buffering both streams to the watermark horizon) is the
+# checkpoint bottleneck, not the state writes themselves. A checkpoint
+# written with changelog mode must be resumed with it (same flag on
+# restart) — covered by the pipeline docstring's checkpoint-compatibility
+# note and exercised by the default-path resume test.
+ROCKSDB_CONF = {
+    "spark.sql.streaming.stateStore.providerClass":
+        ("org.apache.spark.sql.execution.streaming.state."
+         "RocksDBStateStoreProvider"),
+    "spark.sql.streaming.stateStore.rocksdb."
+    "changelogCheckpointing.enabled": "true",
+}
+
+
 def _rocksdb(seq):
     spark = seq.sparkSession
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider")
+    for k, v in ROCKSDB_CONF.items():
+        spark.conf.set(k, v)
 
 
 def detect_stream_stateful_v2(seq, params: EngineParams = DEFAULT_PARAMS,

@@ -36,10 +36,12 @@ def _seq_cols(df):
                      "seq_no")
 
 
-def write_batches(spark, dfs, path):
-    """Write each df as one parquet 'file drop' with ordered mtimes."""
+def write_batches(spark, dfs, path, start=0):
+    """Write each df as one parquet 'file drop' with ordered mtimes.
+    `start` offsets the file index, so a later call can APPEND drops to a
+    directory an earlier call populated (restart tests)."""
     os.makedirs(path, exist_ok=True)
-    for i, df in enumerate(dfs):
+    for i, df in enumerate(dfs, start=start):
         sub = f"{path}/_stage{i}"
         _seq_cols(df).coalesce(1).write.mode("overwrite").parquet(sub)
         src = glob.glob(f"{sub}/part-*.parquet")[0]
@@ -548,6 +550,64 @@ def test_stateful_v2_state_expires_after_watermark(spark, tmp_path):
     # pattern is not self-detectable, so wm_token must be null
     row = out[("docA", 1)]
     assert not row.from_state and row.wm_token is None
+
+
+def test_default_chain_resumes_across_restart_rocksdb(spark, tmp_path):
+    """Round-5 default chain (v2 coarse detect + X6 join, RocksDB store
+    with CHANGELOG CHECKPOINTING): the query runs to completion on the
+    first file drop, stops, a second drop arrives, and a new query on the
+    SAME checkpoint processes exactly the new rows — with the detect
+    state RECOVERED from the RocksDB changelog across the restart.
+
+    The fixture discriminates recovery from re-detection: the run-2 row is
+    an AMBIGUOUS pattern (not self-detectable — coverage too high), so its
+    repair is correct ONLY if the wm token cached from run 1 survived the
+    restart; lost state would leave the row unrepaired."""
+    import datetime as dt
+
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.pipeline import (
+        run_stateful_pipeline)
+    n = 2000
+    detectable = np.full(n, 255, dtype=np.int32)
+    detectable[100:460] = 200
+    ambiguous = np.full(n, 255, dtype=np.int32)
+    ambiguous[100:700] = 200
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 10)
+    d = str(tmp_path / "seq")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    rows1 = [("docA", detectable.tolist(), n, "web", t0, 0)]
+    rows2 = [("docA", ambiguous.tolist(), n, "web",
+              t0 + dt.timedelta(seconds=10), 1)]
+    write_batches(spark, [spark.createDataFrame(rows1, SEQ_SCHEMA)], d)
+    q1 = run_stateful_pipeline(
+        lambda s: file_stream(s, d, max_files_per_trigger=1), out, ck)
+    q1.awaitTermination(180)
+    sink = ExactlyOnceParquetSink(out)
+    got1 = {(r.doc_id, r.seq_no): r.tokens
+            for r in sink.read_committed(spark).collect()}
+    assert set(got1) == {("docA", 0)}
+
+    write_batches(spark, [spark.createDataFrame(rows2, SEQ_SCHEMA)], d,
+                  start=1)
+    q2 = run_stateful_pipeline(
+        lambda s: file_stream(s, d, max_files_per_trigger=1), out, ck)
+    q2.awaitTermination(180)
+    got2 = {(r.doc_id, r.seq_no): r.tokens
+            for r in sink.read_committed(spark).collect()}
+    assert set(got2) == {("docA", 0), ("docA", 1)}
+
+    # run-2 row repaired with the RECOVERED wm token: equals the reference
+    # repair under wm=200, and differs from the unrepaired input (which is
+    # what a state-less re-detection would have produced)
+    exp, _, _ = rk.remove_watermark(ambiguous, 200)
+    assert got2[("docA", 1)] == exp.tolist()
+    assert got2[("docA", 1)] != ambiguous.tolist()
+
+    # changelog checkpointing is genuinely ACTIVE, not silently ignored:
+    # the state checkpoint carries .changelog files (per-batch deltas)
+    changelogs = glob.glob(f"{ck}/state/**/*.changelog", recursive=True)
+    assert changelogs, "no RocksDB changelog files in the checkpoint"
 
 
 def test_rate_stream_produces_sequences(spark):
