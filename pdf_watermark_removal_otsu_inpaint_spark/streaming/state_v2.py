@@ -14,8 +14,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql.streaming.stateful_processor import (StatefulProcessor,
                                                       StatefulProcessorHandle)
-from pyspark.sql.types import (BinaryType, IntegerType, StructField,
-                               StructType)
+from pyspark.sql.types import (BinaryType, IntegerType, LongType,
+                               StructField, StructType)
 
 from ..params import DEFAULT_PARAMS, EngineParams
 
@@ -33,18 +33,23 @@ class DetectProcessor(StatefulProcessor):
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self.handle = handle
+        # (wm token, last registered timer): carrying the timer in the
+        # value makes timer upkeep a precise deleteTimer(old) instead of a
+        # listTimers round-trip — every state access here is an RPC to the
+        # JVM state server, ~6/key/batch trimmed to <=4 (1 for keys with
+        # no detection), which is what per-doc keying multiplies at scale
         self.wm_state = handle.getValueState(
-            "wm", StructType([StructField("wm", IntegerType(), True)]))
+            "wm", StructType([StructField("wm", IntegerType(), True),
+                              StructField("tmr", LongType(), True)]))
 
     def handleInputRows(self, key, rows: Iterator[pd.DataFrame],
                         timerValues) -> Iterator[pd.DataFrame]:
         # same whole-batch vectorized body as the v1 API (state.py)
         from .state import detect_group_batch
         p = self.p
-        wm = None
-        if self.wm_state.exists():
-            got = self.wm_state.get()
-            wm = got[0] if got is not None else None
+        got = self.wm_state.get()    # None when absent: no exists() RPC
+        wm = got[0] if got is not None else None
+        last_timer = got[1] if got is not None else 0
         last_seen_ms = 0
         for pdf in rows:
             out, wm = detect_group_batch(pdf, wm, p)
@@ -53,19 +58,21 @@ class DetectProcessor(StatefulProcessor):
                     last_seen_ms,
                     int(pdf["event_ts"].max().value // 1_000_000))
             yield out
-        if wm is not None:
-            self.wm_state.update((wm,))
         # per-doc state dies after silence (the reference's per-doc cache
         # dies with the document, watermark_detector.py:562-568): slide ONE
         # event-time timer to max(last event seen, watermark) + TTL; without
         # this, state at 10^12 docs grows without bound. The event-time
         # anchor (not just the watermark, which is 0 on the first batch)
-        # makes the horizon live from the key's very first row.
-        anchor = max(last_seen_ms, timerValues.getCurrentWatermarkInMs())
-        if anchor > 0:
-            for old in self.handle.listTimers():
-                self.handle.deleteTimer(old)
-            self.handle.registerTimer(anchor + STATE_TTL_MS)
+        # makes the horizon live from the key's very first row. No state ->
+        # no timer (nothing to expire).
+        if wm is not None:
+            anchor = max(last_seen_ms, timerValues.getCurrentWatermarkInMs())
+            new_timer = anchor + STATE_TTL_MS if anchor > 0 else last_timer
+            self.wm_state.update((wm, new_timer))
+            if new_timer != last_timer:
+                if last_timer:
+                    self.handle.deleteTimer(last_timer)
+                self.handle.registerTimer(new_timer)
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
         self.wm_state.clear()
@@ -106,10 +113,14 @@ class CoarseDetectProcessor(StatefulProcessor):
 
         from .state_coarse import detect_source_batch
         docs: dict = {}
-        if self.blob.exists():
-            got = self.blob.get()
-            if got is not None and got[0] is not None:
-                docs = pickle.loads(bytes(got[0]))
+        last_timer = 0
+        got = self.blob.get()        # None when absent: no exists() RPC
+        if got is not None and got[0] is not None:
+            loaded = pickle.loads(bytes(got[0]))
+            if isinstance(loaded, tuple):   # (docs, last_timer)
+                docs, last_timer = loaded
+            else:   # earlier blob format: bare docs dict, no timer field
+                docs = loaded
         last_ms = 0
         for pdf in rows:
             if len(pdf):
@@ -124,12 +135,16 @@ class CoarseDetectProcessor(StatefulProcessor):
         if wm_ms > 0:   # per-doc expiry, same timing as the legacy op
             docs = {d: v for d, v in docs.items()
                     if v[1] + self.horizon_ms >= wm_ms}
-        self.blob.update((pickle.dumps(docs, protocol=4),))
+        # the shard's TTL timer rides in the blob: timer upkeep is a
+        # precise deleteTimer(old) + registerTimer(new) pair (skipped
+        # entirely when unchanged) instead of a listTimers iterator RPC
         anchor = max(wm_ms, last_ms)
-        if anchor > 0:
-            for old in self.handle.listTimers():
-                self.handle.deleteTimer(old)
-            self.handle.registerTimer(anchor + self.horizon_ms)
+        new_timer = anchor + self.horizon_ms if anchor > 0 else last_timer
+        self.blob.update((pickle.dumps((docs, new_timer), protocol=4),))
+        if new_timer != last_timer:
+            if last_timer:
+                self.handle.deleteTimer(last_timer)
+            self.handle.registerTimer(new_timer)
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
         self.blob.clear()
