@@ -697,22 +697,36 @@ def _steal_cores(j0: int, wall: float) -> float:
 # has seen by evaluation time (a storm at startup cannot poison the
 # baseline, and a trial taken during an early storm is re-judged against
 # the later, quieter best). Ratio reads ~1.0 quiet, 1.5-3x mid-contention.
-CANARY_MB = int(os.environ.get("SPARK_GRAFT_CANARY_MB", "64"))
+# Measurement discipline (learned from a poisoned run): BOTH buffers are
+# preallocated and the timed region is a bare np.copyto — the first cut
+# timed buf.copy(), whose fresh 64 MB allocation page-faults (and
+# THP-compacts) inside the timing; in a long-lived process that read
+# 10-40x while a fresh child read 1.0-1.7x at the same instant, poisoning
+# the process best and stalling the quiet-wait on a phantom storm. And the
+# work must be BIG: a 64 MB copy (~5-10 ms) shows 1.5-2.2x drift from
+# frequency ramp and transients alone; 256 MB with min-of-2 copies reads
+# 1.08x steady / 1.15x under heavy allocator churn — comfortably inside
+# the 1.6x dirty threshold.
+CANARY_MB = int(os.environ.get("SPARK_GRAFT_CANARY_MB", "256"))
 CANARY_FACTOR = float(os.environ.get("SPARK_GRAFT_CANARY_FACTOR", "1.6"))
-_CANARY_BUF = None
+_CANARY_SRC = None
+_CANARY_DST = None
 _CANARY_BEST = [float("inf")]
 
 
 def _canary_secs() -> float:
-    """One fixed-work memcpy; returns raw seconds, refines the best."""
-    global _CANARY_BUF
+    """Min-of-2 fixed-work memcpys; returns raw seconds, refines the best."""
+    global _CANARY_SRC, _CANARY_DST
     import numpy as np
-    if _CANARY_BUF is None:
-        _CANARY_BUF = np.ones(CANARY_MB << 20, dtype=np.uint8)
-        _CANARY_BUF.copy()          # fault pages outside the timed copy
-    t0 = time.perf_counter()
-    _CANARY_BUF.copy()
-    dt = time.perf_counter() - t0
+    if _CANARY_SRC is None:
+        _CANARY_SRC = np.ones(CANARY_MB << 20, dtype=np.uint8)
+        _CANARY_DST = np.empty_like(_CANARY_SRC)
+        np.copyto(_CANARY_DST, _CANARY_SRC)  # fault pages outside timing
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        np.copyto(_CANARY_DST, _CANARY_SRC)
+        dt = min(dt, time.perf_counter() - t0)
     _CANARY_BEST[0] = min(_CANARY_BEST[0], dt)
     return dt
 
