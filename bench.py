@@ -1428,11 +1428,15 @@ def _write_bench_md(result, scale, north, ceiling):
         "its advantage grows with tokens-per-row; both shuffle O(groups x "
         "256 x partitions).",
         "",
-        "IVF ANN (operators/ivf.py): seeded sampled k-means centroids, "
-        "broadcast cell assignment, n_probe-cell exact-cosine search. "
-        "recall@10 vs brute force on near-uniform synthetic embeddings "
-        "(sf0.01, 16 cells): 0.28 / 0.39 / 0.58 / 0.84 at n_probe 1/2/4/8; "
-        "probing all cells reproduces exact top-k (tests/test_ivf.py). "
+        "IVF ANN (operators/ivf.py): sampled k-means centroids "
+        "(k-means++ seeding, empty-cell reseeding, deterministic under the "
+        "fixed seed), broadcast cell assignment, n_probe-cell exact-cosine "
+        "search. recall@10 vs brute force on near-uniform synthetic "
+        "embeddings (sf0.01, 16 cells): 0.24 / 0.54 / 0.82 at n_probe "
+        "1/4/8 single-assignment, 0.49 / 1.0 at n_probe 1/8 with "
+        "n_assign=3 multi-assignment (the index triples, recall at a fixed "
+        "probe count roughly doubles — thresholds pinned in "
+        "tests/test_ivf.py); probing all cells reproduces exact top-k. "
         "Candidate set shrinks ~n_cells/n_probe vs the q24 brute-force "
         "baseline.",
         "",
@@ -1446,13 +1450,13 @@ def _write_bench_md(result, scale, north, ceiling):
         f"{result.get('exactly_once_seqs_per_sec', 'n/a')} seqs/s end-to-end "
         "including the sink's parquet writes.",
         "",
-        "Stateful X5+X6 chain (applyInPandasWithState per-doc detect -> "
+        "Stateful X5+X6 chain on run_stateful_pipeline's DEFAULT path "
+        "(v2 transformWithStateInPandas coarse detect + RocksDB store -> "
         "stream-stream join -> repair -> exactly-once sink): "
         f"{result.get('stateful_pipeline_seqs_per_sec', 'n/a')} seqs/s on "
-        f"{result.get('stateful_pipeline_rows', 'n/a')} rows. The gap vs the "
-        "fused path is the per-group Python call that the per-key stateful "
-        "API mandates (750 (source,doc_id) groups in this slice; the cost "
-        "scales with doc cardinality) — which is why "
+        f"{result.get('stateful_pipeline_rows', 'n/a')} rows. The gap vs "
+        "the fused path is per-key stateful dispatch plus both streams "
+        "buffering through join state — which is why "
         "SURVEY §4.3 makes the fused foreachBatch pipeline the primary "
         "design and reserves per-key state for genuinely stateful "
         "cross-batch carry-over. The coarse-keyed X5c variant "
