@@ -210,9 +210,20 @@ def stateful_secs(spark, n_rows: int = 12000) -> tuple[float, int]:
     q = run_stateful_pipeline(
         lambda s: file_stream(s, src, max_files_per_trigger=8),
         f"{out}/o", ck)
-    q.awaitTermination(600)
+    finished = q.awaitTermination(600)
     secs = time.perf_counter() - t0
-    n = spark.read.parquet(f"{out}/o/data").count()
+    if not finished:
+        # same discipline as the sibling sections: never publish a
+        # truncated leg, and stop the query BEFORE rmtree'ing its dirs out
+        # from under it (a still-running query would bleed into later
+        # sections). Returning None lets main() skip this metric instead
+        # of aborting the whole run.
+        q.stop()
+        print(f"[bench] stateful_secs: chain timed out after {secs:.0f}s "
+              "— leg skipped", flush=True)
+        secs = None
+    n = (spark.read.parquet(f"{out}/o/data").count()
+         if finished else 0)
     for p in (src, out, ck):
         _sh.rmtree(p, ignore_errors=True)
     return secs, n
@@ -466,7 +477,10 @@ def scale_stress(spark) -> dict:
     # the tuned one-doc-per-row shape
     from pdf_watermark_removal_otsu_inpaint_spark.streaming.pipeline import (
         file_stream, run_stateful_pipeline)
-    n_rows = 48_000
+    # cap at what materialize_input actually wrote: a shrunk
+    # SPARK_GRAFT_BENCH_ROWS run must scale this leg down, not trip the
+    # row-count assert and lose the whole ledger
+    n_rows = min(48_000, PIPELINE_ROWS)
     src = tempfile.mkdtemp(prefix="bench_sf1chain_src_")
     (spark.read.parquet(f"{BENCH_INPUT}/list").limit(n_rows)
      .withColumn("doc_id", F.concat_ws("-", "doc_id",
@@ -579,7 +593,15 @@ def run_headline(spark) -> tuple[dict[str, float], dict[str, float]]:
     medians = {n: round(_median(_clean_secs(ts)), 3)
                for n, ts in trials.items()}
     spreads = {n: _spread(ts) for n, ts in trials.items()}
-    return medians, spreads
+    # raw per-trial arrays for the full ledger — the steal/canary gate's
+    # exclusions must be auditable ("raw lists always stay in the
+    # ledger"), exactly as the ladders publish theirs
+    best = _CANARY_BEST[0]
+    raw = {n: {"sec": [round(t[0], 3) for t in ts],
+               "steal_cores": [round(t[1], 2) for t in ts],
+               "canary": [round(t[2] / best, 2) for t in ts]}
+           for n, ts in trials.items()}
+    return medians, spreads, raw
 
 
 LADDER_ROWS = int(os.environ.get("SPARK_GRAFT_LADDER_ROWS", "480000"))
@@ -976,7 +998,9 @@ def _run_interleaved_ladder(child_flag: str, n_trials: int,
                      "spread": round(_trimmed_spread(secs), 3),
                      "pinned": have_taskset}
     out["rows"] = LADDER_ROWS
-    out["trials"] = n_trials
+    # the ACTUAL per-leg trial count — adaptive re-measurement may have
+    # appended extra interleaved trials beyond the scheduled n_trials
+    out["trials"] = max(len(trials[c]) for c, _ in legs)
     out["protocol"] = protocol
     out["efficiency_2_to_8"] = round(
         (out[2]["sec"] / out[8]["sec"]) / (8 / 2), 3)
@@ -1162,9 +1186,10 @@ def main():
               "unit": "sec", "sf": 0.1 if "sf0.1" in SF_DIR else SF_DIR}
 
     spark = get_spark("bench", cpus=CPUS, extra_conf=TOKEN_CONF)
-    queries, query_spreads = run_headline(spark)
+    queries, query_spreads, query_trials = run_headline(spark)
     result["queries"] = queries
     result["query_spreads"] = query_spreads
+    result["query_trials"] = query_trials   # full ledger only (not compact)
     result["headline_protocol"] = (
         f"interleaved rounds, median of {HEADLINE_ROUNDS} per query "
         f"(median of {SHORT_ROUNDS} + min/max-trimmed spread for queries "
@@ -1192,9 +1217,13 @@ def main():
     result["exactly_once_seqs_per_sec"] = round(PIPELINE_ROWS / e1x, 1)
     if not FAST:
         st_sec, st_rows = stateful_secs(spark)
-        result["stateful_pipeline_sec"] = round(st_sec, 3)
-        result["stateful_pipeline_rows"] = st_rows
-        result["stateful_pipeline_seqs_per_sec"] = round(st_rows / st_sec, 1)
+        if st_sec is not None:
+            result["stateful_pipeline_sec"] = round(st_sec, 3)
+            result["stateful_pipeline_rows"] = st_rows
+            result["stateful_pipeline_seqs_per_sec"] = round(
+                st_rows / st_sec, 1)
+        else:
+            result["stateful_pipeline_timeout"] = True
         result.update(stateful_detect_secs(spark))
         result.update(stateful_chain_compare_secs(spark))
         result.update(scale_stress(spark))

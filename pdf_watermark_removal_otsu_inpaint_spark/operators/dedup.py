@@ -43,7 +43,7 @@ def lsh_candidate_pairs(sig: DataFrame, min_matches: int = 4,
     AFTER the bucket cap (bucket width must be measured over the full
     signature table — capping a prefiltered side would under-count bucket
     membership and let a degenerate bucket through). Used by callers that
-    restrict one side of the pair space (q21's doc_id % 20 probe slice)."""
+    restrict one side of the pair space (q21's doc_id % 2 probe slice)."""
     wide = F.count("*").over(Window.partitionBy("i", "mh"))
     kept = sig.withColumn("_bw", wide).where(F.col("_bw") <= max_bucket) \
               .drop("_bw")

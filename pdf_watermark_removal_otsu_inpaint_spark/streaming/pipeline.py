@@ -17,6 +17,7 @@ from ..operators.repair import make_apply_mask_udf
 from ..params import DEFAULT_PARAMS, EngineParams
 from ..sources.synth import tok_expr
 from .sink import ExactlyOnceParquetSink
+from .state_v2 import ROCKSDB_CONF
 
 SEQ_SCHEMA = ("doc_id string, tokens array<int>, n_tok int, source string, "
               "event_ts timestamp, seq_no long")
@@ -195,12 +196,6 @@ def run_repair_pipeline(seq: DataFrame, out_dir: str, checkpoint_dir: str,
     return writer.start()
 
 
-from .state_v2 import ROCKSDB_CONF
-
-ROCKSDB_PROVIDER = ROCKSDB_CONF[
-    "spark.sql.streaming.stateStore.providerClass"]
-
-
 def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
                           params: EngineParams = DEFAULT_PARAMS,
                           trigger_once: bool = True,
@@ -290,7 +285,11 @@ def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
     if state_store not in ("rocksdb", "default"):
         raise ValueError(f"state_store must be 'rocksdb' or 'default', "
                          f"got {state_store!r}")
-    if state_api == "v2" and state_store == "default":
+    if state_api == "v2" and state_store == "default" and detect_fn is None:
+        # only guard when the v2 default path would actually run: an
+        # explicit detect_fn override ignores state_api (docstring
+        # contract), so e.g. (detect_fn=<legacy op>, state_store='default')
+        # is the blessed pre-round-5 combination, not an error
         raise ValueError("the v2 state API (transformWithStateInPandas) "
                          "requires the RocksDB state store provider; use "
                          "state_store='rocksdb' or state_api='legacy'")

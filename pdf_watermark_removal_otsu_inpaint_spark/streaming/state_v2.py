@@ -119,8 +119,15 @@ class CoarseDetectProcessor(StatefulProcessor):
             loaded = pickle.loads(bytes(got[0]))
             if isinstance(loaded, tuple):   # (docs, last_timer)
                 docs, last_timer = loaded
-            else:   # earlier blob format: bare docs dict, no timer field
+            else:   # earlier blob format: bare docs dict, no timer field.
+                # The pre-upgrade code DID register a timer this blob
+                # doesn't remember — purge it (one listTimers, once per
+                # key per migration) or it fires later and
+                # handleExpiredTimer clears the live shard state while
+                # recent events have extended the horizon.
                 docs = loaded
+                for old in self.handle.listTimers():
+                    self.handle.deleteTimer(old)
         last_ms = 0
         for pdf in rows:
             if len(pdf):

@@ -809,6 +809,15 @@ def test_stateful_pipeline_dial_guards(spark, tmp_path):
         run_stateful_pipeline(factory, "o", "c", state_api="v3")
     with _pt.raises(ValueError, match="state_store"):
         run_stateful_pipeline(factory, "o", "c", state_store="hdfs")
+    # a detect_fn override IGNORES state_api (docstring contract), so the
+    # v2+default guard must NOT fire for the blessed pre-round-5
+    # combination (detect_fn=<legacy op>, state_store='default') — the
+    # nowhere-path factory fails later, with a non-dial error
+    with _pt.raises(Exception) as ei:
+        run_stateful_pipeline(factory, "o", "c",
+                              detect_fn=lambda s, p: s,
+                              state_store="default")
+    assert "RocksDB" not in str(ei.value)
 
     seq_dir = str(tmp_path / "seq")
     df = sequences_df(spark, 24, seed=16)
