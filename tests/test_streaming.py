@@ -583,6 +583,15 @@ def test_default_chain_resumes_across_restart_rocksdb(spark, tmp_path):
     q1 = run_stateful_pipeline(
         lambda s: file_stream(s, d, max_files_per_trigger=1), out, ck)
     q1.awaitTermination(180)
+    # every stateful operator in the chain (v2 detect AND the X6 join)
+    # reports RocksDB custom metrics in its progress — the provider is
+    # engaged per-operator, not just configured on the session
+    ops = [op for p in q1.recentProgress
+           for op in p.get("stateOperators", [])]
+    assert ops, "no stateOperators in progress"
+    assert all(any(k.startswith("rocksdb") for k in op["customMetrics"])
+               for op in ops), [sorted(op["customMetrics"])[:3]
+                                for op in ops]
     sink = ExactlyOnceParquetSink(out)
     got1 = {(r.doc_id, r.seq_no): r.tokens
             for r in sink.read_committed(spark).collect()}
