@@ -1200,23 +1200,48 @@ def main():
         f">= 3 clean remain)")
     result["value"] = round(sum(queries.values()), 3)
 
+    # per-SECTION interference fingerprint for the fixed-cost local[32]
+    # legs: these publish best-of-N with no per-trial gate, so a storm
+    # spanning a whole section poisons them SILENTLY (observed: a run
+    # with every chain leg 25-30% slow and 8->32 efficiency at 0.19).
+    # Record the mean steal and end-of-section canary ratio per section
+    # in the full ledger — not a gate, but the reader (and the next
+    # round's comparison) can see which numbers were taken under load.
+    section_env = result["section_interference"] = {}
+
+    def section(name, fn):
+        j0, t0 = _steal_jiffies(), time.perf_counter()
+        out = fn()
+        wall = time.perf_counter() - t0
+        section_env[name] = {
+            "steal_cores": round(_steal_cores(j0, wall), 3),
+            "canary": round(_canary_ratio(), 2),
+            "wall_sec": round(wall, 1)}
+        return out
+
     materialize_input(spark, PIPELINE_ROWS)
     if not FAST:
         materialize_ladder_input(spark)
     result["pipeline_rows"] = PIPELINE_ROWS
     result["pipeline_n_tok"] = N_TOK
-    for layout in ("list", "arrow", "packed", "arrow_packed"):
-        secs = pipeline_secs(spark, layout)
-        result[f"pipeline_{layout}_sec"] = round(secs, 3)
-        result[f"pipeline_{layout}_seqs_per_sec"] = round(PIPELINE_ROWS / secs, 1)
+
+    def run_pipelines():
+        for layout in ("list", "arrow", "packed", "arrow_packed"):
+            secs = pipeline_secs(spark, layout)
+            result[f"pipeline_{layout}_sec"] = round(secs, 3)
+            result[f"pipeline_{layout}_seqs_per_sec"] = round(
+                PIPELINE_ROWS / secs, 1)
+    section("pipeline", run_pipelines)
     result["pipeline_tokens_per_sec"] = round(
         PIPELINE_ROWS * N_TOK / result["pipeline_packed_sec"])
-    result.update(histogram_compare_secs(spark))
-    e1x = exactly_once_secs(spark)
+    result.update(section("histogram",
+                          lambda: histogram_compare_secs(spark)))
+    e1x = section("exactly_once", lambda: exactly_once_secs(spark))
     result["exactly_once_sec"] = round(e1x, 3)
     result["exactly_once_seqs_per_sec"] = round(PIPELINE_ROWS / e1x, 1)
     if not FAST:
-        st_sec, st_rows = stateful_secs(spark)
+        st_sec, st_rows = section("stateful",
+                                  lambda: stateful_secs(spark))
         if st_sec is not None:
             result["stateful_pipeline_sec"] = round(st_sec, 3)
             result["stateful_pipeline_rows"] = st_rows
@@ -1224,9 +1249,11 @@ def main():
                 st_rows / st_sec, 1)
         else:
             result["stateful_pipeline_timeout"] = True
-        result.update(stateful_detect_secs(spark))
-        result.update(stateful_chain_compare_secs(spark))
-        result.update(scale_stress(spark))
+        result.update(section("stateful_detect",
+                              lambda: stateful_detect_secs(spark)))
+        result.update(section("chain_compare",
+                              lambda: stateful_chain_compare_secs(spark)))
+        result.update(section("scale_stress", lambda: scale_stress(spark)))
     spark.stop()
 
     if not FAST:
