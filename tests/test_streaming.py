@@ -846,6 +846,41 @@ def test_stateful_pipeline_dial_guards(spark, tmp_path):
     assert outs["v2rocks"] == outs["legacy"] and len(outs["v2rocks"]) == 24
 
 
+def test_session_conf_sizes_state_partitions(spark, tmp_path):
+    """`session_conf` lands on the chain's isolated session: sizing
+    spark.sql.shuffle.partitions there sets the STATE partition count
+    (every state partition pays a fixed RocksDB open/commit per
+    micro-batch, so the count must track per-batch volume — the
+    operational knob the pipeline docstring documents), the committed
+    rows are invariant under it, and the caller's session is untouched."""
+    import json as _json
+
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.pipeline import (
+        run_stateful_pipeline)
+    seq_dir = str(tmp_path / "seq")
+    write_batches(spark, [sequences_df(spark, 24, seed=16)], seq_dir)
+    caller_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    outs, progress = {}, {}
+    for tag, conf in (("default", None),
+                      ("sized", {"spark.sql.shuffle.partitions": "4"})):
+        q = run_stateful_pipeline(
+            lambda s: file_stream(s, seq_dir),
+            str(tmp_path / f"out_{tag}"), str(tmp_path / f"ck_{tag}"),
+            session_conf=conf)
+        q.awaitTermination(180)
+        progress[tag] = [_json.loads(p.json) for p in q.recentProgress]
+        outs[tag] = {(r.doc_id, r.seq_no): (r.tokens, r.wm_token)
+                     for r in ExactlyOnceParquetSink(
+                         str(tmp_path / f"out_{tag}"))
+                     .read_committed(spark).collect()}
+    assert outs["default"] == outs["sized"] and len(outs["sized"]) == 24
+    assert spark.conf.get("spark.sql.shuffle.partitions") == caller_parts
+    sized_parts = {so.get("numShufflePartitions")
+                   for p in progress["sized"]
+                   for so in (p.get("stateOperators") or [])}
+    assert sized_parts == {4}, sized_parts
+
+
 def test_join_free_chain_matches_joined_chain(spark, tmp_path):
     """join_free=True (state op passes tokens through, repair runs on its
     output, no X6 join) commits EXACTLY the rows of the joined default —
