@@ -619,6 +619,53 @@ def test_default_chain_resumes_across_restart_rocksdb(spark, tmp_path):
     assert changelogs, "no RocksDB changelog files in the checkpoint"
 
 
+def test_state_partition_count_pinned_across_resume(spark, tmp_path):
+    """The sizing docstring's checkpoint-compatibility claim, pinned: a
+    chain started with session_conf shuffle.partitions=4 and RESUMED under
+    a conflicting session_conf (16) keeps the checkpointed 4 state
+    partitions (Spark reads the count from the offset log, the conf is
+    ignored on resume), recovers detect state, and commits exactly the new
+    rows — resizing state partitions requires a fresh checkpoint, not a
+    conf change."""
+    import datetime as dt
+
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.pipeline import (
+        run_stateful_pipeline)
+    n = 2000
+    detectable = np.full(n, 255, dtype=np.int32)
+    detectable[100:460] = 200
+    ambiguous = np.full(n, 255, dtype=np.int32)
+    ambiguous[100:700] = 200
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 10)
+    d, out, ck = (str(tmp_path / p) for p in ("seq", "out", "ck"))
+    write_batches(spark, [spark.createDataFrame(
+        [("docA", detectable.tolist(), n, "web", t0, 0)], SEQ_SCHEMA)], d)
+    q1 = run_stateful_pipeline(
+        lambda s: file_stream(s, d, max_files_per_trigger=1), out, ck,
+        session_conf={"spark.sql.shuffle.partitions": "4"})
+    q1.awaitTermination(180)
+
+    write_batches(spark, [spark.createDataFrame(
+        [("docA", ambiguous.tolist(), n, "web",
+          t0 + dt.timedelta(seconds=10), 1)], SEQ_SCHEMA)], d, start=1)
+    q2 = run_stateful_pipeline(
+        lambda s: file_stream(s, d, max_files_per_trigger=1), out, ck,
+        session_conf={"spark.sql.shuffle.partitions": "16"})
+    q2.awaitTermination(180)
+    resumed_parts = {op.get("numShufflePartitions")
+                     for p in q2.recentProgress
+                     for op in p.get("stateOperators", [])}
+    assert resumed_parts == {4}, resumed_parts
+    got = {(r.doc_id, r.seq_no): r.tokens
+           for r in ExactlyOnceParquetSink(out).read_committed(
+               spark).collect()}
+    assert set(got) == {("docA", 0), ("docA", 1)}
+    # the run-2 ambiguous row is repaired ONLY with the wm token recovered
+    # from run-1 state: the resume carried state, not just the row count
+    exp, _, _ = rk.remove_watermark(ambiguous, 200)
+    assert got[("docA", 1)] == exp.tolist()
+
+
 def test_rate_stream_produces_sequences(spark):
     """stream_smoke (FIXTURES §4): the rate-source synthetic feed yields
     schema-correct sequence rows that flow through the windowed histogram."""
