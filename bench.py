@@ -1014,7 +1014,37 @@ def _run_interleaved_ladder(child_flag: str, n_trials: int,
     out["protocol"] = protocol
     out["efficiency_2_to_8"] = round(
         (out[2]["sec"] / out[8]["sec"]) / (8 / 2), 3)
+    # WINDOW-MATCHED (paired) estimator, published alongside: round i's
+    # 2-core and 8-core trials run back-to-back in the SAME host window,
+    # so their ratio is a complete N-vs-4N experiment under one level of
+    # co-tenant contention; the median of per-round ratios is robust to a
+    # minority of contended rounds. The ratio-of-medians above is NOT
+    # robust to sustained LOW-GRADE bandwidth contention that every trial
+    # passes the canary gate under: the wider leg loses more of the
+    # shared DRAM bandwidth, so its median inflates more and the ratio
+    # collapses (measured: three windows with clean-trial canaries at
+    # 1.10-1.20x read e1x 0.762-0.772 while the paired estimator read
+    # ~0.80-0.81 in the same runs, and a pristine 1.00-1.02x window read
+    # 0.897 / 0.827). Primary stays ratio-of-medians for round-over-round
+    # comparability; read the paired figure when the per-section
+    # fingerprints show a contended window.
+    eff, used = _paired_efficiency(trials[2], trials[8])
+    out["efficiency_2_to_8_paired"] = eff
+    out["paired_rounds_used"] = used
     return out
+
+
+def _paired_efficiency(trials_n, trials_4n, factor: float = 4.0):
+    """Median of per-round N/4N ratios over clean pairs (both trials of a
+    round steal/canary-clean); all pairs when fewer than 3 clean remain,
+    same fallback rule as _clean_secs. Trials are (sec, steal, canary_dt)
+    tuples in round order. Returns (efficiency, rounds_used)."""
+    pairs = list(zip(trials_n, trials_4n))
+    clean = [(a, b) for a, b in pairs
+             if not (_is_dirty(a[1], a[2]) or _is_dirty(b[1], b[2]))]
+    use = clean if len(clean) >= 3 else pairs
+    return (round(_median([a[0] / b[0] for a, b in use]) / factor, 3),
+            len(use))
 
 
 def run_e1x_ladder() -> dict:
@@ -1275,11 +1305,15 @@ def main():
         result["scaling_n_to_4n"] = north
         # the north-rule criterion (N -> 4N executors, same job+input):
         result["scaling_efficiency_north"] = north["efficiency_2_to_8"]
+        result["scaling_efficiency_north_paired"] = \
+            north["efficiency_2_to_8_paired"]
         _emit_compact(result)
         e1x_ladder = run_e1x_ladder()
         result["scaling_n_to_4n_exactly_once"] = e1x_ladder
         result["scaling_efficiency_north_e1x"] = \
             e1x_ladder["efficiency_2_to_8"]
+        result["scaling_efficiency_north_e1x_paired"] = \
+            e1x_ladder["efficiency_2_to_8_paired"]
         _emit_compact(result)
         ceiling = host_ceiling_probe()
         result["host_ceiling"] = ceiling
@@ -1301,7 +1335,9 @@ def _emit_compact(result) -> None:
     compact = {k: result[k] for k in ("metric", "unit", "sf", "value",
                                       "queries")}
     for k in ("scaling_efficiency_north",
+              "scaling_efficiency_north_paired",
               "scaling_efficiency_north_e1x",
+              "scaling_efficiency_north_e1x_paired",
               "pipeline_packed_seqs_per_sec",
               "pipeline_arrow_packed_seqs_per_sec",
               "pipeline_tokens_per_sec",
@@ -1395,7 +1431,16 @@ def _write_bench_md(result, scale, north, ceiling):
         f"{north[8]['trials_sec']} |",
         "",
         f"**Scaling efficiency N -> 4N: {north['efficiency_2_to_8']}** "
-        "(north_rule target >= 0.8; ratio of medians).",
+        "(north_rule target >= 0.8; ratio of medians). Window-matched "
+        f"paired estimator: **{north['efficiency_2_to_8_paired']}** "
+        f"(median of per-round N/4N ratios over "
+        f"{north['paired_rounds_used']} clean interleaved rounds — each "
+        "round's two legs run back-to-back in the same host window, so "
+        "the per-round ratio is immune to the low-grade co-tenant "
+        "bandwidth contention that inflates the wider leg's median more "
+        "than the narrow leg's and collapses the ratio-of-medians; read "
+        "the paired figure when section_interference shows a contended "
+        "window).",
         "",
         "## North-rule ladder, EXACTLY-ONCE flavor (the metric's own job)",
         "",
@@ -1426,7 +1471,10 @@ def _write_bench_md(result, scale, north, ceiling):
         f"{result['scaling_n_to_4n_exactly_once'][8]['trials_sec']} |",
         "",
         "**Exactly-once scaling efficiency N -> 4N: "
-        f"{result['scaling_efficiency_north_e1x']}**.",
+        f"{result['scaling_efficiency_north_e1x']}** (ratio of medians); "
+        "window-matched paired estimator: "
+        f"**{result.get('scaling_efficiency_north_e1x_paired', 'n/a')}** "
+        "(same construction as the kernel ladder's).",
     ] if "scaling_n_to_4n_exactly_once" in result else []) + [
         "",
         "## Saturation ladder: 8 -> 32 cores "

@@ -63,6 +63,27 @@ def test_canary_secs_refines_best_and_ratio_is_relative(bench):
     assert r >= 1.0 or bench._CANARY_BEST[0] < dt1
 
 
+def test_paired_efficiency_is_window_matched(bench):
+    """The paired estimator takes the median of per-round N/4N ratios over
+    rounds where BOTH legs are clean: a contended round inflates both its
+    legs together, so its ratio barely moves, and a storm round is dropped
+    entirely — unlike the ratio-of-medians, which collapses when sustained
+    contention inflates the wide leg's median more than the narrow leg's."""
+    base = bench._CANARY_BEST[0] = 0.01
+    # three pristine rounds at true ratio 3.6 (eff 0.9) + one storm round
+    # (both legs dirty, ratio 5.0) that must be dropped
+    n_leg = [_t(72.0, 0.0, base), _t(70.0, 0.0, base),
+             _t(74.0, 0.0, base), _t(150.0, 2.0, base)]
+    w_leg = [_t(20.0, 0.0, base), _t(19.444, 0.0, base),
+             _t(20.556, 0.0, base), _t(30.0, 2.0, base)]
+    eff, used = bench._paired_efficiency(n_leg, w_leg)
+    assert used == 3 and eff == pytest.approx(0.9, abs=0.001)
+    # fallback: fewer than 3 clean pairs -> all pairs count
+    eff_all, used_all = bench._paired_efficiency(n_leg[:2] + n_leg[3:],
+                                                 w_leg[:2] + w_leg[3:])
+    assert used_all == 3 and eff_all > 0
+
+
 def test_trimmed_spread_centers_on_decisive_trials(bench):
     # n=5 -> one dropped per side; the 10x outlier cannot widen the spread
     assert bench._trimmed_spread([1.0, 1.0, 1.1, 1.2, 10.0]) == \
