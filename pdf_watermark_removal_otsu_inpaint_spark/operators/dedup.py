@@ -21,6 +21,95 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def minhash_signatures_text(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            a_vals: tuple = (3, 5, 7, 11, 13, 17, 19, 23),
+                            p: int = 1_000_000_007) -> DataFrame:
+    """MinHash signatures computed in NumPy straight off the raw UTF-8
+    buffer (round-6 rewrite of q25's feed; guide §4.2).
+
+    Semantics are exactly the round-5 Catalyst in-row form: words =
+    split(text, ' ') with Java's limit=-1 (empty words from consecutive /
+    trailing spaces KEPT, hashing to 0), word hash = the sequential fold
+    ((acc*31 + ascii(char)) % p), signature slot i = min over words of
+    (a_i * wh + (i+1)) % p. The fold's per-step mod equals the polynomial
+    sum mod p, so the hash is computed here as one gather of 31^j % p
+    powers + one cumsum + per-word range differences — modular integer
+    arithmetic, exact, no summation-order sensitivity (unlike floats).
+    The Catalyst version evaluated an interpreted per-char aggregate HOF
+    ~15M times per sf1 pass; this is three vectorized passes over the
+    byte buffer. min() is duplicate-insensitive, so the round-5
+    array_distinct(words) step is dropped — identical results (the
+    sf0.01 oracle gate and tests/test_dedup.py pin this).
+
+    Stays a pure map (partial rows per batch, no shuffle); int64 is exact
+    throughout: contributions < 256 * p < 2^38 and one batch holds < 2^24
+    word bytes, so the cumsum peaks < 2^62."""
+    src = df.select(id_col, text_col)
+    id_type = dict(src.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, hash_i int, minhash long"
+    K = len(a_vals)
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from .histogram import _plain_col, _utf8_flat
+        A = np.asarray(a_vals, dtype=np.int64)
+        B = np.arange(1, K + 1, dtype=np.int64)
+        pw = np.ones(1, dtype=np.int64)          # 31^j % p, grown on demand
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            tcol = b.column(b.schema.get_field_index(text_col))
+            if tcol.null_count:  # oracle's UNNEST drops NULL-text docs
+                b = b.filter(pc.is_valid(tcol))
+                if b.num_rows == 0:
+                    continue
+                tcol = b.column(b.schema.get_field_index(text_col))
+            g, offs = _utf8_flat(tcol)
+            nb = b.num_rows
+            sp = np.flatnonzero(g == 32)         # space = word delimiter
+            row_of_sp = np.searchsorted(offs, sp, side="right") - 1
+            words_per_row = np.bincount(row_of_sp, minlength=nb) + 1
+            ws = np.sort(np.concatenate([offs[:-1], sp + 1]))
+            we = np.sort(np.concatenate([sp, offs[1:]]))
+            wlen = we - ws
+            nwords = ws.size
+            maxlen = int(wlen.max()) if nwords else 1
+            while pw.size < maxlen:              # extend the power table
+                nxt = np.empty(max(maxlen, 2 * pw.size), dtype=np.int64)
+                nxt[:pw.size] = pw
+                for j in range(pw.size, nxt.size):
+                    nxt[j] = (nxt[j - 1] * 31) % p
+                pw = nxt
+            total = int(wlen.sum())
+            wi = np.repeat(np.arange(nwords, dtype=np.int64), wlen)
+            basew = np.zeros(nwords, dtype=np.int64)
+            np.cumsum(wlen[:-1], out=basew[1:])
+            pos = np.arange(total, dtype=np.int64) - basew[wi] + ws[wi]
+            contrib = g[pos].astype(np.int64) * pw[we[wi] - 1 - pos]
+            c = np.empty(total + 1, dtype=np.int64)
+            c[0] = 0
+            np.cumsum(contrib, out=c[1:])
+            wh = (c[basew + wlen] - c[basew]) % p
+            doc_starts = np.zeros(nb, dtype=np.int64)
+            np.cumsum(words_per_row[:-1], out=doc_starts[1:])
+            mh = np.empty((nb, K), dtype=np.int64)
+            for k in range(K):
+                mh[:, k] = np.minimum.reduceat((A[k] * wh + B[k]) % p,
+                                               doc_starts)
+            ids = _plain_col(b, id_col)
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(pa.array(np.repeat(np.arange(nb), K))),
+                 pa.array(np.tile(np.arange(K, dtype=np.int32), nb)),
+                 pa.array(mh.ravel())],
+                [id_col, "hash_i", "minhash"])
+
+    return src.mapInArrow(fn, out_schema)
+
+
 def lsh_candidate_pairs(sig: DataFrame, min_matches: int = 4,
                         max_bucket: int = 64,
                         s1_filter=None) -> DataFrame:

@@ -86,6 +86,159 @@ def token_histogram_bincount(df: DataFrame,
         .agg(F.sum("cnt").alias("cnt"))
 
 
+def _utf8_flat(txt):
+    """Arrow StringArray -> (flat uint8 byte buffer view, int64 offsets).
+
+    For an ASCII corpus the bytes ARE the per-char ascii() tokens (non-ASCII
+    bytes count as raw bytes mod 256 — the repair_text_arrow convention)."""
+    import numpy as np
+    import pyarrow as pa
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    if pa.types.is_dictionary(txt.type):
+        txt = txt.dictionary_decode()
+    off_dtype = np.int64 if pa.types.is_large_string(txt.type) else np.int32
+    offs = np.frombuffer(txt.buffers()[1], dtype=off_dtype,
+                         count=len(txt) + 1 + txt.offset)
+    offs = offs[txt.offset:].astype(np.int64)
+    data = np.frombuffer(txt.buffers()[2], dtype=np.uint8)
+    base = offs[0]
+    return data[base:offs[-1]], offs - base
+
+
+def _plain_col(b, name):
+    """RecordBatch column -> plain (non-dictionary) array, for re-emission
+    through a declared output schema."""
+    import pyarrow as pa
+    col = b.column(b.schema.get_field_index(name))
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_dictionary(col.type):
+        col = col.dictionary_decode()
+    return col
+
+
+def _bincount_partial_batch(b, group_cols, g, lengths):
+    """Shared A1b core for the fused mapInArrow feeds: bincount the uint8
+    token classes `g` (flat, `lengths` per row) per group key and return
+    the partial-histogram RecordBatch, or None when the batch is empty.
+    Same group handling as bincount_batches (factorize over a \\x1f-joined
+    key — \\x00 is unsafe in pandas' hashtable)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    gp = pa.RecordBatch.from_arrays(
+        [_plain_col(b, c) for c in group_cols], list(group_cols)).to_pandas()
+    keys = gp.astype(str).agg("\x1f".join, axis=1)
+    codes, uniq = pd.factorize(keys)
+    code_per_pos = np.repeat(codes, lengths)
+    hist = np.bincount(code_per_pos * 256 + g, minlength=len(uniq) * 256)
+    nz = np.flatnonzero(hist)
+    if nz.size == 0:
+        return None
+    _, first_pos = np.unique(codes, return_index=True)
+    rep_idx = pa.array(first_pos[nz // 256])
+    return pa.RecordBatch.from_arrays(
+        [_plain_col(b, c).take(rep_idx) for c in group_cols]
+        + [pa.array((nz % 256).astype("int32")),
+           pa.array(hist[nz].astype("int64"))],
+        list(group_cols) + ["tok", "cnt"])
+
+
+def token_histogram_bincount_text(df: DataFrame,
+                                  group_cols: list[str] | None = None,
+                                  text_col: str = "text") -> DataFrame:
+    """A1b with tokenization FUSED into the bincount: per-char tokens are
+    the UTF-8 bytes of `text_col`, read zero-copy off the Arrow
+    StringArray's data buffer (ASCII corpus — the repair_text_arrow
+    convention; identical to ascii() per char).
+
+    Replaces the round-5 feed `token_histogram_bincount(split+transform)`,
+    whose Catalyst stage materialized one single-char string plus one int
+    per character (~15M objects at sf1) and shipped the int arrays through
+    Arrow before the kernel saw a byte. Here the text column crosses once
+    and the whole batch is one np.bincount — result identical (asserted in
+    tests/test_histogram_paths.py)."""
+    group_cols = group_cols or ["source"]
+    src = df.select(*group_cols, text_col)
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}"
+         for f in src.schema.fields if f.name != text_col]
+        + ["tok int", "cnt long"])
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow.compute as pc
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            tcol = b.column(b.schema.get_field_index(text_col))
+            if tcol.null_count:  # explode feed drops NULL token rows
+                b = b.filter(pc.is_valid(tcol))
+                if b.num_rows == 0:
+                    continue
+                tcol = b.column(b.schema.get_field_index(text_col))
+            g, offsets = _utf8_flat(tcol)
+            out = _bincount_partial_batch(b, group_cols, g,
+                                          np.diff(offsets))
+            if out is not None:
+                yield out
+
+    partial = src.mapInArrow(fn, out_schema)
+    return partial.groupBy(*group_cols, "tok") \
+        .agg(F.sum("cnt").alias("cnt"))
+
+
+def token_histogram_bincount_floats(df: DataFrame,
+                                    group_cols: list[str] | None = None,
+                                    emb_col: str = "embedding") -> DataFrame:
+    """A1b with P1 quantization FUSED into the bincount: float lists are
+    read off the Arrow ListArray's values buffer and quantized in NumPy
+    (clip(floor(v*128+128), 0, 255) over float64 — bit-identical to the
+    Catalyst _quantize expression: *128 and +128 are exact in float64).
+
+    Replaces the round-5 feed `token_histogram_bincount(transform(
+    _quantize))`, which built a full int array per row in Catalyst and
+    shipped it through Arrow. Result identical (tests/
+    test_histogram_paths.py)."""
+    group_cols = group_cols or ["label"]
+    src = df.select(*group_cols, emb_col)
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}"
+         for f in src.schema.fields if f.name != emb_col]
+        + ["tok int", "cnt long"])
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            lst = b.column(b.schema.get_field_index(emb_col))
+            if lst.null_count:
+                b = b.filter(pc.is_valid(lst))
+                if b.num_rows == 0:
+                    continue
+                lst = b.column(b.schema.get_field_index(emb_col))
+            if isinstance(lst, pa.ChunkedArray):
+                lst = lst.combine_chunks()
+            offs = lst.offsets.to_numpy().astype(np.int64)
+            base = offs[0]
+            vals = lst.values.to_numpy(zero_copy_only=False)
+            v = vals[base:offs[-1]].astype(np.float64)
+            g = np.clip(np.floor(v * 128.0 + 128.0), 0.0, 255.0) \
+                .astype(np.int64).astype(np.uint8)
+            out = _bincount_partial_batch(b, group_cols, g,
+                                          np.diff(offs - base))
+            if out is not None:
+                yield out
+
+    partial = src.mapInArrow(fn, out_schema)
+    return partial.groupBy(*group_cols, "tok") \
+        .agg(F.sum("cnt").alias("cnt"))
+
+
 def windowed_histogram(df: DataFrame, window_duration: str = "1 minute",
                        slide: str | None = None,
                        group_cols: list[str] | None = None) -> DataFrame:

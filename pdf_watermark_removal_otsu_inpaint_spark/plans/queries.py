@@ -39,6 +39,41 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ensure_parallelism(df: DataFrame, spark: SparkSession,
+                        min_parts: int | None = None,
+                        min_bytes: int = 0) -> DataFrame:
+    """Scan-parallelism bootstrap for CPU-dense map stages (guide §2.4/§6).
+
+    The driver's tables are single parquet files with one row group, so a
+    scan yields ONE task no matter how many cores the session has — and a
+    mapInArrow kernel downstream then runs single-threaded. When (and only
+    when) the scan's split count is below the session's core count, pay one
+    tiny round-robin exchange of the projected input to fan the kernel out.
+    At real scale the scan has >= cores splits and this is the identity —
+    the map-only plans stay shuffle-free exactly when the input is already
+    parallel (asserted in tests/test_plan_hygiene.py).
+
+    `min_bytes`: skip the exchange when the optimizer's size estimate for
+    the input is below this — measured on this box the round-robin
+    exchange costs ~0.3-0.4 s, so a kernel that clears a single small
+    input in less than that is faster serial (q13/q29/q30 at sf1, A/B in
+    OPTIMIZATION_r06.md). Callers set it by downstream cost per byte:
+    0 for O(Q x N) or multi-pass kernels (q24/q40 — always worth fanning
+    out), ~2 MB (estimate scale) for the minhash fold, ~16 MB for single-pass bincounts."""
+    if min_bytes:
+        try:
+            est = int(df._jdf.queryExecution().optimizedPlan().stats()
+                      .sizeInBytes())
+        except Exception:
+            est = None
+        if est is not None and est < min_bytes:
+            return df
+    n = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 # ===========================================================================
 # Relational core (A6, T1, J*, W*, X1-as-batch, F13, sessionization)
 # ===========================================================================
@@ -316,7 +351,11 @@ def q13(spark, sf_dir):
     """A3: dominant-watermark-token selection per label
     (detect_watermark_color, watermark_detector.py:147-191) through the
     engine's dominant_token operator."""
-    dom = oh.dominant_token(_emb_tokens(spark, sf_dir), ["label"])
+    e = _ensure_parallelism(
+        t(spark, sf_dir, "embeddings").select("label", "embedding"), spark,
+        min_bytes=16 << 20)
+    hist = oh.token_histogram_bincount_floats(e, ["label"])
+    dom = oh.dominant_token(hist, ["label"], from_hist=True)
     return dom.select("label", "wm_token",
                       F.round("coverage_pct", 6).alias("coverage_pct"))
 
@@ -737,34 +776,98 @@ _DOT = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)")
 
 
-def _make_seqfold_cos_udf():
-    """Vectorized cosine whose per-pair dot products reproduce the
-    SEQUENTIAL left-fold summation order bit-exactly (np.cumsum's last
-    element == aggregate()/list_reduce's ((0+v1)+v2)+... order), so results
-    hash-match the DuckDB oracle while running ~5x faster than the
-    interpreted Catalyst HOF fold."""
+def _make_cos_topk_partial(sf_dir: str, topk: int = 3, modulus: int = 50):
+    """mapInArrow factory for q24's scored+partial-top-k stage.
+
+    Round-6 restructure (guide §4.2/§8): the old plan broadcast the query
+    rows and crossJoined them against the candidate table, so Q x N pairs —
+    each carrying BOTH full embedding arrays — crossed the Arrow boundary
+    into a pandas UDF (at sf1 that is 8M pairs x 2 x 64 floats, ~8 GB of
+    Arrow traffic; 48 s measured). Now only the N candidate rows cross, the
+    Q x d query matrix is loaded once per task straight from the parquet
+    source (the guide §8 "co-locate instead of join" shape: the task reads
+    its side input from storage), and the whole Q x batch cosine block is
+    computed as NumPy matrix arithmetic with the per-pair top-k done in one
+    lexsort — emitting only topk rows per query per batch.
+
+    Bit-exactness vs the DuckDB oracle is preserved: the dot products
+    accumulate dimension-by-dimension in float64 (acc = p0; acc += p_k),
+    which is EXACTLY np.cumsum's / list_reduce's sequential left-fold
+    ((0+p1)+p2)+... order, and cos = dot/na/nb keeps the same two-division
+    order. The zero-norm convention cos = 0.0 (NOT NaN) is pinned as
+    before: pandas NaN crosses Arrow as SQL NULL, which Spark's DESC ranks
+    LAST while DuckDB's NaN ranks FIRST. NaN cos (impossible after the
+    pin) would sort last in the partial top-k, matching the final window's
+    NULLS LAST — same convention as the old na_position="last".
+    """
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    import pyarrow as pa
 
-    @pandas_udf("double")
-    def seqfold_cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        A = np.stack(a.to_numpy()).astype(np.float64)
-        B = np.stack(b.to_numpy()).astype(np.float64)
-        dot = np.cumsum(A * B, axis=1)[:, -1]
-        na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
-        nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
-        denom = na * nb
-        # zero-norm convention: cos = 0.0, NOT NaN — the Arrow boundary
-        # turns pandas NaN into SQL NULL (nan_as_null), which Spark's DESC
-        # then ranks LAST while DuckDB's NaN ranks FIRST; pinning 0.0 keeps
-        # both engines' rankings identical (and "no similarity" is the
-        # right semantics for a zero vector anyway)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            cos = np.where(denom == 0.0, 0.0, dot / na / nb)
-        return pd.Series(cos)
+    def _load_queries():
+        import pyarrow.parquet as pq
+        qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+        qid = qt.column("vec_id").to_numpy()
+        keep = (qid % modulus) == 0
+        emb = qt.column("embedding").combine_chunks()
+        offs = emb.offsets.to_numpy().astype(np.int64)
+        d = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        assert (np.diff(offs) == d).all(), "ragged embedding dims"
+        vals = emb.values.to_numpy(zero_copy_only=False)
+        Qm = vals[offs[0]:offs[-1]].reshape(-1, d)[keep].astype(np.float64)
+        qids = qid[keep].astype(np.int64)
+        na = np.sqrt(np.cumsum(Qm * Qm, axis=1)[:, -1]) if d else \
+            np.zeros(len(qids))
+        return qids, Qm, na, d
 
-    return seqfold_cos
+    def fn(batches):
+        qids, Qm, na, d = _load_queries()
+        Q = qids.size
+        for b in batches:
+            if Q == 0 or b.num_rows == 0:
+                continue
+            cand = b.column(b.schema.get_field_index("vec_id")) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            lst = b.column(b.schema.get_field_index("embedding"))
+            if isinstance(lst, pa.ChunkedArray):
+                lst = lst.combine_chunks()
+            offs = lst.offsets.to_numpy().astype(np.int64)
+            base = offs[0]
+            vals = lst.values.to_numpy(zero_copy_only=False)
+            flat = vals[base:offs[-1]]
+            assert (np.diff(offs) == d).all(), "ragged embedding dims"
+            E = flat.reshape(-1, d).astype(np.float64)
+            nb = np.sqrt(np.cumsum(E * E, axis=1)[:, -1])
+            # sequential left-fold dot, vectorized over the Q x nb block:
+            # identical IEEE op order to cumsum(A*B, axis=1)[:, -1]
+            acc = Qm[:, 0, None] * E[None, :, 0]
+            for k in range(1, d):
+                acc += Qm[:, k, None] * E[None, :, k]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.where((na[:, None] * nb[None, :]) == 0.0, 0.0,
+                               acc / na[:, None] / nb[None, :])
+            n = cand.size
+            # per-query top-(k+1) under (cos DESC, cand_id ASC), NaN last —
+            # one stable lexsort keyed (row, -cos, cand); +1 absorbs the
+            # excluded self-pair (vec_ids are unique, so at most one/row)
+            order = np.lexsort((np.tile(cand, Q), -cos.ravel(),
+                                np.repeat(np.arange(Q), n)))
+            m = min(topk + 1, n)
+            top = order.reshape(Q, n)[:, :m] % n
+            tq = np.repeat(qids, m)
+            tc = cand[top].ravel()
+            ts = np.take_along_axis(cos, top, axis=1).ravel()
+            valid = tc != tq
+            rank = (np.cumsum(valid.reshape(Q, m), axis=1)
+                    .ravel() * valid)
+            keep = valid & (rank <= topk)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(tq[keep], type=pa.int64()),
+                 pa.array(tc[keep], type=pa.int64()),
+                 pa.array(ts[keep], type=pa.float64())],
+                ["q_id", "cand_id", "cos"])
+
+    return fn
 
 
 
@@ -789,40 +892,19 @@ SELECT q_id, cand_id, ROUND(cos, 6) AS cos_sim, rnk FROM (
 WHERE rnk <= 3
 """)
 def q24(spark, sf_dir):
-    """Brute-force cosine top-k (ANN baseline): broadcast the query set,
-    sequential-fold dot products (bit-exact vs the oracle — computed as a
-    whole-batch cumsum pandas UDF with identical summation order), window
-    top-k."""
-    e = t(spark, sf_dir, "embeddings")
-    qv = (e.where(F.col("vec_id") % 50 == 0)
-          .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")))
-    cos = _make_seqfold_cos_udf()(F.col("qe"), F.col("embedding"))
-    scored = (F.broadcast(qv).crossJoin(e)
-              .where(F.col("vec_id") != F.col("q_id"))
-              .select("q_id", F.col("vec_id").alias("cand_id"),
-                      cos.alias("cos")))
-
-    # MAP-SIDE partial top-k: within each Arrow batch keep only the 3 best
-    # candidates per query (same (cos desc, cand_id asc) order the final
-    # window uses, values untouched) — the global top-3 is a subset of the
-    # union of per-batch top-3s, so the result is identical but the window
-    # shuffles O(Q x 3 x batches) rows instead of ALL Q x N scored rows.
-    # At 100 TB this is the difference between shuffling the whole scored
-    # cross product and shuffling a few rows per partition.
-    def _partial_topk(pdfs):
-        for pdf in pdfs:
-            if len(pdf):
-                # na_position="last": the UDF's pandas NaN crosses Arrow as
-                # SQL NULL, and Spark's DESC ranks NULL LAST — so a null
-                # cos (which the 0.0 zero-norm pin should prevent anyway)
-                # must sort to the bottom here exactly as the final window
-                # will rank it, never displacing real top-3 candidates
-                yield (pdf.sort_values(["q_id", "cos", "cand_id"],
-                                       ascending=[True, False, True],
-                                       na_position="last")
-                       .groupby("q_id", sort=False).head(3))
-
-    scored = scored.mapInPandas(_partial_topk, scored.schema)
+    """Brute-force cosine top-k (ANN baseline, the labeled O(Q x N)
+    yardstick — q28/q31/q46 are the scale paths): one mapInArrow pass over
+    the candidate table computes the whole Q x batch cosine block as NumPy
+    matrix arithmetic (sequential-fold order, bit-exact vs the oracle) and
+    keeps only the per-batch top-3 per query, so Q x 3 x batches rows reach
+    the final window instead of the Q x N scored cross product — and, new
+    in round 6, the Q x N pair rows never exist at all: the old broadcast
+    crossJoin shipped every pair (with both embedding arrays) through
+    Arrow into Python, which was ~98% of the query's wall time."""
+    e = _ensure_parallelism(
+        t(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
+    scored = e.mapInArrow(_make_cos_topk_partial(sf_dir),
+                          "q_id long, cand_id long, cos double")
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= 3)
@@ -844,33 +926,18 @@ GROUP BY h.doc_id, p.i
 """)
 def q25(spark, sf_dir):
     """MinHash signatures (dedup op #2): polynomial word hash + k=8
-    universal-hash min-fold — fully IN-ROW (array_distinct -> transform ->
-    array_min per hash function), then one explode of the 8-slot signature.
-    ZERO shuffles: the round-1 plan's distinct() shuffle and params
-    crossJoin are gone; at 100 TB the signature stage is a pure map."""
-    d = t(spark, sf_dir, "documents")
-    wh_arr = F.transform(
-        F.array_distinct(F.split("text", " ")),
-        lambda w: F.aggregate(
-            F.split(w, ""), F.lit(0).cast("long"),
-            lambda acc, c: (acc * 31 + F.ascii(c)) % 1000000007))
-    # PROJECTION BOUNDARY: materialize the word-hash array once.
-    # CollapseProject keeps the boundary (the fold is non-cheap and
-    # referenced 8x below); inlining wh_arr into each signature slot makes
-    # Catalyst evaluate the whole per-word fold 8x per row — measured 3.8x
-    # slower at sf0.1
-    hashed = d.select("doc_id", wh_arr.alias("whs"))
-    a_vals = [3, 5, 7, 11, 13, 17, 19, 23]
-    sig = F.array(*[
-        F.struct(F.lit(i).alias("hash_i"),
-                 F.array_min(F.transform(
-                     F.col("whs"),
-                     lambda h: (F.lit(a_vals[i]) * h + F.lit(i + 1))
-                     % 1000000007)).alias("minhash"))
-        for i in range(8)])
-    return (hashed.select("doc_id", F.explode(sig).alias("s"))
-            .select("doc_id", F.col("s.hash_i").alias("hash_i"),
-                    F.col("s.minhash").alias("minhash")))
+    universal-hash min — still a pure map (partial batches, no shuffle
+    beyond the scan-parallelism bootstrap), but since round 6 the whole
+    per-word fold runs as vectorized NumPy off the raw UTF-8 buffer
+    (operators/dedup.minhash_signatures_text) instead of an interpreted
+    per-char Catalyst aggregate HOF evaluated once per character — same
+    values, ~10x less per-row work. At 100 TB the signature stage remains
+    a pure map."""
+    from ..operators.dedup import minhash_signatures_text
+    d = _ensure_parallelism(
+        t(spark, sf_dir, "documents").select("doc_id", "text"), spark,
+        min_bytes=2 << 20)
+    return minhash_signatures_text(d)
 
 
 @q("q26_minhash_dup_pairs", f"""
@@ -1017,7 +1084,11 @@ def q29(spark, sf_dir):
     """Flagship A1+A2+A3: dominant-token detection per source over real
     char-token arrays (detect_watermark_color, watermark_detector.py:147-191,
     generalized across a corpus)."""
-    dom = oh.dominant_token(_char_tokens(spark, sf_dir), ["source"])
+    docs = _ensure_parallelism(
+        t(spark, sf_dir, "documents").select("source", "text"), spark,
+        min_bytes=16 << 20)
+    hist = oh.token_histogram_bincount_text(docs, ["source"])
+    dom = oh.dominant_token(hist, ["source"], from_hist=True)
     return dom.select("source", "wm_token",
                       F.round("coverage_pct", 6).alias("coverage_pct"))
 
@@ -1053,7 +1124,10 @@ def q30(spark, sf_dir):
     window formulation (SURVEY §4.3) through the engine's otsu_sql, fed by
     the A1b bincount histogram (same result as the explode path, ~1.7x
     faster at sf0.1)."""
-    hist = oh.token_histogram_bincount(_char_tokens(spark, sf_dir), ["source"])
+    docs = _ensure_parallelism(
+        t(spark, sf_dir, "documents").select("source", "text"), spark,
+        min_bytes=16 << 20)
+    hist = oh.token_histogram_bincount_text(docs, ["source"])
     return oo.otsu_sql(hist, ["source"])
 
 
@@ -1295,7 +1369,9 @@ def q40(spark, sf_dir):
     tests/test_repair_vectorized.py."""
     from ..operators.repair_vectorized import repair_text_arrow
     from ..params import DEFAULT_PARAMS
-    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = _ensure_parallelism(
+        t(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        spark)
     out = repair_text_arrow(docs, DEFAULT_PARAMS.with_(passes=2, min_run=5))
     return out.select("doc_id", "source", "n_out",
                       F.round("coverage", 6).alias("coverage"), "wm_token",
