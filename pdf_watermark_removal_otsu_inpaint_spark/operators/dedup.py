@@ -21,6 +21,50 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _word_hashes_flat(g, offs, pw_box, p):
+    """Shared word-segmentation + polynomial-hash core for the NumPy text
+    kernels (minhash / shingle bands).
+
+    g: flat uint8 UTF-8 bytes; offs: int64 row offsets (n+1).
+    Returns (wh, wlen, words_per_row): per-word hash
+    fold((acc*31 + byte) % p), word byte length, and words per row —
+    word list == split(text, ' ') with Java limit=-1 (empty words from
+    consecutive/leading/trailing spaces kept, hashing to 0).
+
+    pw_box is a 1-element list holding the 31^j % p power table, grown on
+    demand and carried across batches by the caller. int64 is exact:
+    contributions < 256 * p < 2^38, and a batch holds < 2^24 word bytes,
+    so the cumsum peaks < 2^62."""
+    import numpy as np
+    nb = offs.size - 1
+    sp = np.flatnonzero(g == 32)             # space = word delimiter
+    row_of_sp = np.searchsorted(offs, sp, side="right") - 1
+    words_per_row = np.bincount(row_of_sp, minlength=nb) + 1
+    ws = np.sort(np.concatenate([offs[:-1], sp + 1]))
+    we = np.sort(np.concatenate([sp, offs[1:]]))
+    wlen = we - ws
+    nwords = ws.size
+    maxlen = int(wlen.max()) if nwords else 1
+    pw = pw_box[0]
+    while pw.size < maxlen + 1:              # +1: shingle combine uses 31^len
+        nxt = np.empty(max(maxlen + 1, 2 * pw.size), dtype=np.int64)
+        nxt[:pw.size] = pw
+        for j in range(pw.size, nxt.size):
+            nxt[j] = (nxt[j - 1] * 31) % p
+        pw_box[0] = pw = nxt
+    total = int(wlen.sum())
+    wi = np.repeat(np.arange(nwords, dtype=np.int64), wlen)
+    basew = np.zeros(nwords, dtype=np.int64)
+    np.cumsum(wlen[:-1], out=basew[1:])
+    pos = np.arange(total, dtype=np.int64) - basew[wi] + ws[wi]
+    contrib = g[pos].astype(np.int64) * pw[we[wi] - 1 - pos]
+    c = np.empty(total + 1, dtype=np.int64)
+    c[0] = 0
+    np.cumsum(contrib, out=c[1:])
+    wh = (c[basew + wlen] - c[basew]) % p
+    return wh, wlen, words_per_row
+
+
 def minhash_signatures_text(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
                             a_vals: tuple = (3, 5, 7, 11, 13, 17, 19, 23),
@@ -58,7 +102,7 @@ def minhash_signatures_text(df: DataFrame, text_col: str = "text",
         from .histogram import _plain_col, _utf8_flat
         A = np.asarray(a_vals, dtype=np.int64)
         B = np.arange(1, K + 1, dtype=np.int64)
-        pw = np.ones(1, dtype=np.int64)          # 31^j % p, grown on demand
+        pw_box = [np.ones(1, dtype=np.int64)]    # 31^j % p, grown on demand
         for b in batches:
             if b.num_rows == 0:
                 continue
@@ -70,30 +114,7 @@ def minhash_signatures_text(df: DataFrame, text_col: str = "text",
                 tcol = b.column(b.schema.get_field_index(text_col))
             g, offs = _utf8_flat(tcol)
             nb = b.num_rows
-            sp = np.flatnonzero(g == 32)         # space = word delimiter
-            row_of_sp = np.searchsorted(offs, sp, side="right") - 1
-            words_per_row = np.bincount(row_of_sp, minlength=nb) + 1
-            ws = np.sort(np.concatenate([offs[:-1], sp + 1]))
-            we = np.sort(np.concatenate([sp, offs[1:]]))
-            wlen = we - ws
-            nwords = ws.size
-            maxlen = int(wlen.max()) if nwords else 1
-            while pw.size < maxlen:              # extend the power table
-                nxt = np.empty(max(maxlen, 2 * pw.size), dtype=np.int64)
-                nxt[:pw.size] = pw
-                for j in range(pw.size, nxt.size):
-                    nxt[j] = (nxt[j - 1] * 31) % p
-                pw = nxt
-            total = int(wlen.sum())
-            wi = np.repeat(np.arange(nwords, dtype=np.int64), wlen)
-            basew = np.zeros(nwords, dtype=np.int64)
-            np.cumsum(wlen[:-1], out=basew[1:])
-            pos = np.arange(total, dtype=np.int64) - basew[wi] + ws[wi]
-            contrib = g[pos].astype(np.int64) * pw[we[wi] - 1 - pos]
-            c = np.empty(total + 1, dtype=np.int64)
-            c[0] = 0
-            np.cumsum(contrib, out=c[1:])
-            wh = (c[basew + wlen] - c[basew]) % p
+            wh, _, words_per_row = _word_hashes_flat(g, offs, pw_box, p)
             doc_starts = np.zeros(nb, dtype=np.int64)
             np.cumsum(words_per_row[:-1], out=doc_starts[1:])
             mh = np.empty((nb, K), dtype=np.int64)
@@ -106,6 +127,88 @@ def minhash_signatures_text(df: DataFrame, text_col: str = "text",
                  pa.array(np.tile(np.arange(K, dtype=np.int32), nb)),
                  pa.array(mh.ravel())],
                 [id_col, "hash_i", "minhash"])
+
+    return src.mapInArrow(fn, out_schema)
+
+
+def shingle_band_signatures_text(df: DataFrame, text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 a_vals: tuple = (3, 5, 7, 11, 13, 17, 19,
+                                                  23),
+                                 p: int = 1_000_000_007) -> DataFrame:
+    """q53's signature stage in NumPy: word 3-gram shingle hashes + 4
+    bands x 2 minhash rows per doc, off the raw UTF-8 buffer.
+
+    Semantics match the round-5 Catalyst form exactly: shingle string =
+    concat_ws(' ', w_i, w_i+1, w_i+2), its polynomial 31-hash composed
+    from the word hashes via h(concat(a,b)) = (h(a) * 31^len(b) + h(b))
+    mod p (so the joining spaces contribute byte 32 like any other char);
+    band b keys = min over shingles of (a_2b * h + 2b+1) % p and
+    (a_2b+1 * h + 2b+2) % p. Docs with fewer than 3 words emit nothing
+    (the round-5 plan's size(hs) > 0 filter; array_distinct on shingles
+    is dropped — min() is duplicate-insensitive, values unchanged).
+    Products stay < (p-1)^2 ~ 1e18 < 2^63: exact int64.
+
+    The Catalyst version folded an interpreted per-char aggregate over
+    every shingle's ~33 chars (~60M interpreted steps on the 50k-doc
+    stress corpus — the bench's slowest dedup leg); this is a handful of
+    vectorized passes."""
+    src = df.select(id_col, text_col)
+    id_type = dict(src.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, band int, mh1 long, mh2 long"
+    n_bands = len(a_vals) // 2
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from .histogram import _plain_col, _utf8_flat
+        A = np.asarray(a_vals, dtype=np.int64)
+        pw_box = [np.ones(1, dtype=np.int64)]
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            tcol = b.column(b.schema.get_field_index(text_col))
+            if tcol.null_count:
+                b = b.filter(pc.is_valid(tcol))
+                if b.num_rows == 0:
+                    continue
+                tcol = b.column(b.schema.get_field_index(text_col))
+            g, offs = _utf8_flat(tcol)
+            nb = b.num_rows
+            wh, wlen, wpr = _word_hashes_flat(g, offs, pw_box, p)
+            pw = pw_box[0]
+            doc_w0 = np.zeros(nb, dtype=np.int64)
+            np.cumsum(wpr[:-1], out=doc_w0[1:])
+            shc = np.maximum(wpr - 2, 0)         # shingles per doc
+            keep_doc = shc > 0
+            if not keep_doc.any():
+                continue
+            nsh = int(shc.sum())
+            si = np.repeat(np.arange(nb, dtype=np.int64), shc)
+            bases = np.zeros(nb, dtype=np.int64)
+            np.cumsum(shc[:-1], out=bases[1:])
+            w0 = np.arange(nsh, dtype=np.int64) - bases[si] + doc_w0[si]
+            h = wh[w0]
+            for step in (1, 2):                  # append ' ' + next word
+                h = (h * 31 + 32) % p
+                h = (h * pw[wlen[w0 + step]] + wh[w0 + step]) % p
+            kept_idx = np.flatnonzero(keep_doc)
+            starts = bases[kept_idx]             # per-kept-doc shingle start
+            nk = kept_idx.size
+            mh = np.empty((nk, 2 * n_bands), dtype=np.int64)
+            for k in range(2 * n_bands):
+                mh[:, k] = np.minimum.reduceat((A[k] * h + (k + 1)) % p,
+                                               starts)
+            ids = _plain_col(b, id_col)
+            rep = np.repeat(kept_idx, n_bands)
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(pa.array(rep)),
+                 pa.array(np.tile(np.arange(n_bands, dtype=np.int32), nk)),
+                 pa.array(mh[:, 0::2].ravel()),
+                 pa.array(mh[:, 1::2].ravel())],
+                [id_col, "band", "mh1", "mh2"])
 
     return src.mapInArrow(fn, out_schema)
 

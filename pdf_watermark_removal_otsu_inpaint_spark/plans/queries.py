@@ -2605,36 +2605,11 @@ def q53(spark, sf_dir):
     4 bands x 2 rows, candidates = same (band, mh-pair) bucket — a bounded
     equi-join, never all-pairs. Band width/count are the 100 TB recall/cost
     dials (see q21/q26 for the verify-candidates stage)."""
-    d = t(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    shingles = F.when(
-        F.size(words) >= 3,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(0), F.size(words) - 3),
-            lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
-                                  F.element_at(words, i + 2),
-                                  F.element_at(words, i + 3))))
-    ).otherwise(F.array().cast("array<string>"))
-    hs = F.transform(shingles, lambda s: F.aggregate(
-        F.split(s, ""), F.lit(0).cast("long"),
-        lambda acc, c: (acc * 31 + F.ascii(c)) % 1000000007))
-    a_vals = [3, 5, 7, 11, 13, 17, 19, 23]
-    bands = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.array_min(F.transform(
-                F.col("hs"), lambda h: (F.lit(a_vals[2 * b]) * h
-                                        + F.lit(2 * b + 1))
-                % 1000000007)).alias("mh1"),
-            F.array_min(F.transform(
-                F.col("hs"), lambda h: (F.lit(a_vals[2 * b + 1]) * h
-                                        + F.lit(2 * b + 2))
-                % 1000000007)).alias("mh2"))
-        for b in range(4)])
-    sig = (d.select("doc_id", hs.alias("hs"))
-           .where(F.size("hs") > 0)
-           .select("doc_id", F.explode(bands).alias("bd"))
-           .select("doc_id", "bd.band", "bd.mh1", "bd.mh2"))
+    from ..operators.dedup import shingle_band_signatures_text
+    d = _ensure_parallelism(
+        t(spark, sf_dir, "documents").select("doc_id", "text"), spark,
+        min_bytes=2 << 20)
+    sig = shingle_band_signatures_text(d)
     s1, s2 = sig.alias("s1"), sig.alias("s2")
     return (s1.join(s2, (F.col("s1.band") == F.col("s2.band"))
                     & (F.col("s1.mh1") == F.col("s2.mh1"))
