@@ -131,6 +131,52 @@ def minhash_signatures_text(df: DataFrame, text_col: str = "text",
     return src.mapInArrow(fn, out_schema)
 
 
+def simhash_text(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n_bits: int = 16,
+                 p: int = 1_000_000_007) -> DataFrame:
+    """q27's SimHash in NumPy off the raw UTF-8 buffer: per-word polynomial
+    hashes (shared _word_hashes_flat core — frequency-weighted: duplicate
+    words count each time, empty words hash to 0, exactly like the
+    round-5 in-row form), then one (words x n_bits) signed-bit matrix and
+    an add.reduceat per doc; bit j of the signature is set iff the signed
+    sum is > 0. Pure map, same values (oracle-parity tested); replaces 16
+    interpreted per-word Catalyst folds per document."""
+    src = df.select(id_col, text_col)
+    id_type = dict(src.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, simhash16 long"
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from .histogram import _plain_col, _utf8_flat
+        pw_box = [np.ones(1, dtype=np.int64)]
+        bits = np.arange(n_bits, dtype=np.int64)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            tcol = b.column(b.schema.get_field_index(text_col))
+            if tcol.null_count:
+                b = b.filter(pc.is_valid(tcol))
+                if b.num_rows == 0:
+                    continue
+                tcol = b.column(b.schema.get_field_index(text_col))
+            g, offs = _utf8_flat(tcol)
+            nb = b.num_rows
+            wh, _, wpr = _word_hashes_flat(g, offs, pw_box, p)
+            doc_starts = np.zeros(nb, dtype=np.int64)
+            np.cumsum(wpr[:-1], out=doc_starts[1:])
+            signed = (((wh[:, None] >> bits) & 1) * 2 - 1)
+            sums = np.add.reduceat(signed, doc_starts, axis=0)
+            sim = (((sums > 0).astype(np.int64)) << bits).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [_plain_col(b, id_col), pa.array(sim)],
+                [id_col, "simhash16"])
+
+    return src.mapInArrow(fn, out_schema)
+
+
 def shingle_band_signatures_text(df: DataFrame, text_col: str = "text",
                                  id_col: str = "doc_id",
                                  a_vals: tuple = (3, 5, 7, 11, 13, 17, 19,
@@ -260,8 +306,17 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     sym = edges.select("u", "v").union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.repartition("v").localCheckpoint()
-    labels = vertices.select(F.col("id"),
-                             F.col("id").alias("lbl")).localCheckpoint()
+    # Iterate ONLY over edge-incident vertices (round 6): an isolated
+    # vertex can neither receive nor donate a label (propagation reads
+    # labels through sym), so it is a singleton by construction and needs
+    # no rounds. On a dedup graph edges cover a small fraction of the
+    # corpus (~5k of 50k docs on the bench stress corpus), so every
+    # per-round join/checkpoint moves ~10x fewer rows; the result is
+    # identical — singletons are restored by the final left join.
+    touched = (sym.select(F.col("u").alias("id")).distinct()
+               .localCheckpoint())
+    labels = touched.select(F.col("id"),
+                            F.col("id").alias("lbl")).localCheckpoint()
     converged = False
     for _ in range(max_iterations):
         # pull the smallest neighbor label across each edge
@@ -296,4 +351,8 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
             f"connected_components did not converge in {max_iterations} "
             "rounds; raise max_iterations (rounds needed is "
             "O(log(component diameter)))")
-    return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
+    vv, ll = vertices.alias("vv"), labels.alias("ll")
+    return (vv.join(ll, F.col("vv.id") == F.col("ll.id"), "left")
+            .select(F.col("vv.id").alias("id"),
+                    F.coalesce(F.col("ll.lbl"), F.col("vv.id"))
+                    .alias("cluster_id")))

@@ -199,9 +199,15 @@ def q07(spark, sf_dir):
     """W2: windowed share + rank (coverage-share analogue,
     watermark_detector.py:170-175)."""
     o = t(spark, sf_dir, "orders")
-    share_w = Window.partitionBy("o_custkey")
+    # both windows share ONE sort: the share sum is over the whole
+    # partition, so giving it the rank window's ordering with an explicit
+    # unbounded frame changes nothing about its value but lets Catalyst
+    # plan Exchange -> Sort -> Window -> Window instead of sorting the
+    # partition twice (round 6; plan diff in plans/r06/)
     rank_w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"),
                                                      F.asc("o_orderkey"))
+    share_w = rank_w.rowsBetween(Window.unboundedPreceding,
+                                 Window.unboundedFollowing)
     return (o.select("o_orderkey", "o_custkey",
                      F.round(F.col("o_totalprice")
                              / F.sum("o_totalprice").over(share_w), 6)
@@ -986,35 +992,18 @@ SELECT doc_id, CAST(SUM(bit << j) AS BIGINT) AS simhash16 FROM bits GROUP BY doc
 """)
 def q27(spark, sf_dir):
     """SimHash fingerprint (dedup op #3): 16-bit sign-of-weighted-bits over
-    frequency-weighted word hashes — fully IN-ROW (q25's idiom): the word
-    hashes and all 16 signed bit-sums fold over the in-row word array, so
-    the plan is a pure map (zero Exchange, plan-asserted) — the shape that
-    survives 100 TB. (Round 2 exploded words and crossJoined 16 bit-planes
-    before a groupBy: a 16x word-row shuffle for the same result.)"""
-    d = t(spark, sf_dir, "documents")
-    whs = F.transform(
-        F.split("text", " "),
-        lambda w: F.aggregate(
-            F.split(w, ""), F.lit(0).cast("long"),
-            lambda acc, c: (acc * 31 + F.ascii(c)) % 1000000007))
-    doc = d.select("doc_id", whs.alias("whs"))
-
-    def signed_bit_sum(j):
-        return F.aggregate(
-            F.col("whs"), F.lit(0).cast("long"),
-            lambda acc, x: acc + (
-                F.shiftright(x, j).bitwiseAND(F.lit(1)).cast("long") * 2 - 1))
-
-    bit_terms = []
-    for j in range(16):
-        s_j = signed_bit_sum(j)
-        bit_terms.append(
-            F.when(s_j > 0, F.lit(1 << j).cast("long"))
-            .otherwise(F.lit(0).cast("long")))
-    simhash = bit_terms[0]
-    for term in bit_terms[1:]:
-        simhash = simhash + term
-    return doc.select("doc_id", simhash.alias("simhash16"))
+    frequency-weighted word hashes — still a pure map (no shuffle beyond
+    the scan-parallelism bootstrap; plan-asserted), but since round 6 the
+    word hashing and all 16 signed bit-sums run as vectorized NumPy off
+    the raw UTF-8 buffer (operators/dedup.simhash_text) instead of 16
+    interpreted per-word Catalyst folds per document — same values.
+    (Round 2 exploded words and crossJoined 16 bit-planes before a
+    groupBy: a 16x word-row shuffle for the same result.)"""
+    from ..operators.dedup import simhash_text
+    d = _ensure_parallelism(
+        t(spark, sf_dir, "documents").select("doc_id", "text"), spark,
+        min_bytes=2 << 20)
+    return simhash_text(d)
 
 
 @q("q28_lsh_buckets", """
