@@ -643,7 +643,7 @@ def test_state_partition_count_pinned_across_resume(spark, tmp_path):
     q1 = run_stateful_pipeline(
         lambda s: file_stream(s, d, max_files_per_trigger=1), out, ck,
         session_conf={"spark.sql.shuffle.partitions": "4"})
-    q1.awaitTermination(180)
+    assert q1.awaitTermination(180), "q1 timed out"
 
     write_batches(spark, [spark.createDataFrame(
         [("docA", ambiguous.tolist(), n, "web",
@@ -651,7 +651,7 @@ def test_state_partition_count_pinned_across_resume(spark, tmp_path):
     q2 = run_stateful_pipeline(
         lambda s: file_stream(s, d, max_files_per_trigger=1), out, ck,
         session_conf={"spark.sql.shuffle.partitions": "16"})
-    q2.awaitTermination(180)
+    assert q2.awaitTermination(180), "q2 timed out"
     resumed_parts = {op.get("numShufflePartitions")
                      for p in q2.recentProgress
                      for op in p.get("stateOperators", [])}
