@@ -370,6 +370,15 @@ def run_stateful_pipeline(seq, out_dir: str, checkpoint_dir: str,
         # see state_v2.ROCKSDB_CONF for the 10^12-key rationale)
         for k, v in ROCKSDB_CONF.items():
             iso.conf.set(k, v)
+    # the state-store backend is chosen by the `state_store` dial ONLY:
+    # session_conf is applied after ROCKSDB_CONF, so a provider/changelog
+    # key smuggled through it would silently override the dial — enforce
+    # the contract instead of relying on the docstring
+    _reserved = set(ROCKSDB_CONF) & set(session_conf or {})
+    if _reserved:
+        raise ValueError(
+            "session_conf may not set state-store provider/changelog keys "
+            f"({sorted(_reserved)}); use the state_store dial instead")
     for k, v in (session_conf or {}).items():
         iso.conf.set(k, v)
     stream = factory(iso)

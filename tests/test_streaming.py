@@ -928,6 +928,27 @@ def test_session_conf_sizes_state_partitions(spark, tmp_path):
     assert sized_parts == {4}, sized_parts
 
 
+def test_session_conf_rejects_state_store_keys(spark, tmp_path):
+    """The state-store backend is chosen by the `state_store` dial only:
+    session_conf is applied after ROCKSDB_CONF, so a provider or changelog
+    key passed through it would silently override the dial. The contract
+    is machine-enforced — such keys raise instead of being applied."""
+    import pytest
+
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.pipeline import (
+        run_stateful_pipeline)
+    from pdf_watermark_removal_otsu_inpaint_spark.streaming.state_v2 import (
+        ROCKSDB_CONF)
+    seq_dir = str(tmp_path / "seq")
+    write_batches(spark, [sequences_df(spark, 4, seed=16)], seq_dir)
+    for key in ROCKSDB_CONF:
+        with pytest.raises(ValueError, match="state_store dial"):
+            run_stateful_pipeline(
+                lambda s: file_stream(s, seq_dir),
+                str(tmp_path / "out"), str(tmp_path / "ck"),
+                session_conf={key: "whatever"})
+
+
 def test_join_free_chain_matches_joined_chain(spark, tmp_path):
     """join_free=True (state op passes tokens through, repair runs on its
     output, no X6 join) commits EXACTLY the rows of the joined default —
